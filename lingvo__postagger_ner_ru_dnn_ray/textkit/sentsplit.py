@@ -1,0 +1,194 @@
+"""Rule-based sentence splitter — the *Simple* predict-path variant.
+
+Behavioral re-implementation of SentSplitter.AllocateSents_Simple
+(/root/reference/PosTagger/Lingvo.PosTagger.Tokenizing/sentSplitting/SentSplitter.cs:532-819):
+
+  * a sentence ends at '.' only when it is followed by a whitespace run that
+    reaches '\\n' or end-of-text (TrySkipWhiteSpacesUntilCRLForEOF, :1566-1582)
+  * '…' '?' '!' end a sentence per IsEndOfSentTDQMEP (:1240-1327); trailing
+    punctuation is folded into the sentence (SkipFollowPunctuation, :1552-1565)
+  * street-name abbreviations ("Str." etc.) before the dot suppress the split
+    (TryGetStreetsEnds, :2422-2443)
+  * sentences consisting solely of whitespace/punctuation are dropped
+    (IsCurrentSentContainsPunctuationOrWhitespace, :2741-2861)
+  * URL/e-mail spans are detected first and skipped by the scanner; each is
+    attached to the sentence that contains it (:548-559)
+
+In the Simple variant bracket/quote tracking is disabled (the reference
+keeps ``_OpenBrakets``/``_OpenQuotas`` at 0 on this path), '\\n' alone does
+NOT split, and the mid-line-dot quirk is preserved: after a dot whose
+whitespace run does not reach a newline, the scanner resumes one char past
+the first non-whitespace char (SentSplitter.cs:571 + :814 interplay).
+
+Pure function of the text + static resources; safe in stateless Ray tasks.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from . import xlat
+from .resources import STREETS_ENDS_COMPLEX_SUFFIX, STREETS_ENDS_SEPARATE
+from .urls import UrlSpan, allocate_urls
+
+_CT = xlat.CHARTYPE
+_SC = xlat.SENTCHARTYPE
+_UP = xlat.UPPER_INVARIANT
+
+_WS = xlat.IS_WHITESPACE
+_PUNCT = xlat.IS_PUNCTUATION
+
+
+class Sent(NamedTuple):
+    start: int
+    length: int
+    urls: tuple[UrlSpan, ...]
+
+
+def _is_all_punct_or_ws(u, start: int, length: int) -> bool:
+    seg = _CT[u[start : start + length]]
+    return bool(((seg & (_WS | _PUNCT)) != 0).all())
+
+
+def split_sents_simple(text: str, u16=None, urls: list[UrlSpan] | None = None) -> list[Sent]:
+    if u16 is None:
+        u16 = xlat.to_u16(text)
+    u = u16
+    n = len(u)
+    if urls is None:
+        urls = allocate_urls(text, u)
+
+    def ch(i: int) -> int:
+        return int(u[i]) if 0 <= i < n else 0
+
+    sents: list[Sent] = []
+    sent_start = 0
+    sent_len = 0
+    cur_urls: list[UrlSpan] = []
+
+    url_idx = 0
+    next_url_start = urls[0].start if urls else 1 << 60
+
+    def emit(end: int) -> None:
+        nonlocal sent_start, sent_len, cur_urls
+        start = sent_start + sent_len
+        length = end - start
+        if length <= 0:
+            return
+        if not _is_all_punct_or_ws(u, start, length):
+            sents.append(Sent(start, length, tuple(cur_urls)))
+        cur_urls = []
+        sent_start, sent_len = start, length
+
+    def try_skip_ws_until_crlf_or_eof(i: int) -> tuple[bool, int]:
+        i += 1
+        while True:
+            c = ch(i)
+            if c == 0 or (_SC[c] & xlat.SC_UNCONDITIONAL):
+                return True, i
+            if not (_CT[c] & _WS):
+                return False, i
+            i += 1
+
+    def left_word_is_street_end(i: int) -> bool:
+        # approximation of TokenizeVicinityOfDot + TryGetStreetsEnds for the
+        # Simple path: the whitespace-delimited token ending at the dot
+        j = i - 1
+        while j >= sent_start + sent_len and (_CT[ch(j)] & _WS):
+            j -= 1
+        end = j
+        while j >= sent_start + sent_len and not (_CT[ch(j)] & _WS):
+            j -= 1
+        if end <= j:
+            return False
+        w = "".join(chr(_UP[ch(k)]) for k in range(j + 1, end + 1))
+        if w in STREETS_ENDS_SEPARATE:
+            return True
+        return any(len(w) > len(s) and w.endswith(s) for s in STREETS_ENDS_COMPLEX_SUFFIX)
+
+    def is_end_tdqmep(i: int, sct: int) -> bool:
+        if sct & xlat.SC_THREE_DOT:
+            was_punct = False
+            j = i + 1
+            ct = 0
+            while True:
+                c = ch(j)
+                if c == 0:
+                    return True
+                ct = int(_CT[c])
+                if (ct & xlat.IS_BRACKET_RIGHT) == xlat.IS_BRACKET_RIGHT:
+                    return True  # _OpenBrakets == 0 on the Simple path
+                if _SC[c] & xlat.SC_AFTER_THREE_DOT_ALLOWED_PUNCT:
+                    was_punct = True
+                elif not (ct & _WS):
+                    break
+                j += 1
+            return not (ct & xlat.IS_LOWER)
+        # '!' / '?' — brackets/quotes counters are all zero on the Simple path
+        j = i + 1
+        while True:
+            c = ch(j)
+            if c == 0:
+                return True
+            ct = int(_CT[c])
+            if (ct & xlat.IS_BRACKET_LEFT) == xlat.IS_BRACKET_LEFT or (
+                ct & xlat.IS_BRACKET_RIGHT
+            ) == xlat.IS_BRACKET_RIGHT:
+                j += 1
+                while True:
+                    c = ch(j)
+                    if c == 0:
+                        return False
+                    if _SC[c] & xlat.SC_AFTER_BRACKET_ALLOWED_PUNCT_4QMEP:
+                        return False
+                    ct = int(_CT[c])
+                    if not (ct & _WS) and not (ct & _PUNCT):
+                        return True
+                    j += 1
+            if not (ct & _WS) and not (ct & _PUNCT):
+                return True
+            j += 1
+
+    def skip_follow_punct(i: int) -> int:
+        i += 1
+        while True:
+            c = ch(i)
+            if c == 0 or not (_CT[c] & _PUNCT) or (_SC[c] & xlat.SC_UNCONDITIONAL):
+                return i
+            i += 1
+
+    i = 0
+    while True:
+        if next_url_start <= i:
+            us = urls[url_idx]
+            cur_urls.append(us)
+            i = us.start + us.length
+            url_idx += 1
+            next_url_start = urls[url_idx].start if url_idx < len(urls) else 1 << 60
+            continue
+        c = ch(i)
+        if c == 0:
+            break
+        sct = int(_SC[c])
+        if sct & xlat.SC_DOT:
+            ok, i2 = try_skip_ws_until_crlf_or_eof(i)
+            if ok:
+                if left_word_is_street_end(i2):
+                    i = i2 + 1
+                    continue
+                emit(i2)
+                i = i2
+                continue
+            # quirk: scanner resumes one past the first non-ws char
+            i = i2 + 1
+            continue
+        if sct & xlat.SC_EXCLUDE_IN_BRACKET_AND_QUOTE:
+            if is_end_tdqmep(i, sct):
+                i = skip_follow_punct(i)
+                emit(i)
+                continue
+            i += 1
+            continue
+        i += 1
+
+    emit(n)
+    return sents

@@ -1,0 +1,372 @@
+"""Char-FSM tokenizer — the *Simple* (sentence-API) variant.
+
+Behavioral re-implementation of the reference Tokenizer's
+SentSplitterProcessSentCallback_Simple path
+(/root/reference/PosTagger/Lingvo.PosTagger.Tokenizing/Tokenizing/Tokenizer.cs):
+
+  * main/tail scan regions split at the last letter-or-digit, with the
+    keep-dot-after-single-capital quirk (SkipNonLetterAndNonDigitToTheEnd,
+    :985-1012)
+  * a dot is always detached unless followed by a digit (:732-744)
+  * '&' '_' soft-hyphen '‒' '―' '‘' '‛' kept between letters/digits; true
+    hyphens always split (:747-788, IsBetweenLetterOrDigit :1014-1046)
+  * '"' ',' ':' '〃' kept between digits (IsBetweenDigit :1047-1079)
+  * ~50 chars always tokenized separately (UnsafeConst table :101-145)
+  * runs of the same punctuation char merge, incl. interior whitespace
+    (MergePunctuation :1131-1171)
+  * digits+punctuation tokens (incl. unit suffixes г/кг/см/км/тыс/млн)
+    collapse to the [%NUM%] placeholder; consecutive number words collapse
+    into one (:887-936, IsDigits_WithPunctuations_WithSpecEnds :1193-1211)
+  * single-char exotic punctuation canonicalized (Clear_valueOriginal
+    :1213-1278)
+  * URL spans re-enter the word list sorted by startIndex (:314-351)
+
+Pure function of text + static LUTs: run as stateless Ray tasks; the LUTs
+are module-level singletons built once per worker process.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from . import xlat
+from .features import (
+    EX_HAS_UMLAUTES,
+    EX_INTEGER_NUMBER,
+    EX_PUNCTUATION,
+    IT_EMAIL,
+    IT_NUM,
+    IT_URL,
+    get_input_type,
+    normalize_umlautes,
+)
+from .resources import DIGITS_SPEC_ENDS, NUM_PLACEHOLDER
+from .sentsplit import Sent, split_sents_simple
+from .urls import EMAIL, UrlSpan, allocate_urls
+
+_CT = xlat.CHARTYPE
+_SP = xlat.SPECTYPE
+_UP = xlat.UPPER_INVARIANT
+
+_WS = xlat.IS_WHITESPACE
+_LD = xlat.IS_LETTER | xlat.IS_DIGIT
+
+_KEEP_PUNCT_1 = frozenset(ord(c) for c in ":.,;?!()/%&…")
+_KEEP_QUOTE_1 = frozenset(ord(c) for c in "\"'[]")
+
+
+class Word:
+    __slots__ = ("value", "upper", "start", "length", "input_type", "extra", "upper_umlauts")
+
+    def __init__(self, value, upper, start, length, input_type, extra, upper_umlauts=None):
+        self.value = value
+        self.upper = upper
+        self.start = start
+        self.length = length
+        self.input_type = input_type
+        self.extra = extra
+        self.upper_umlauts = upper_umlauts
+
+    def __repr__(self):  # pragma: no cover
+        return f"Word({self.value!r}@{self.start}+{self.length},it={self.input_type},ex={self.extra})"
+
+
+class _SentTokenizer:
+    __slots__ = (
+        "u", "n", "s", "end", "words", "start_index", "cur_len",
+        "is_prev_num", "last_num", "replace_nums",
+    )
+
+    def __init__(self, u16, replace_nums: bool):
+        self.u = u16
+        self.n = len(u16)
+        self.replace_nums = replace_nums
+
+    def ch(self, i: int) -> int:
+        return int(self.u[i]) if 0 <= i < self.n else 0
+
+    # -- IsDigits_WithPunctuations_WithSpecEnds (Tokenizer.cs:1193-1211) --
+    def _is_num_token(self, start: int, length: int) -> bool:
+        has_digits = False
+        for k in range(start, start + length):
+            c = int(self.u[k])
+            ct = int(_CT[c])
+            if ct & xlat.IS_DIGIT:
+                has_digits = True
+                continue
+            if not (ct & xlat.IS_PUNCTUATION):
+                if has_digits:
+                    end = "".join(chr(_UP[int(self.u[j])]) for j in range(k, start + length))
+                    return end in DIGITS_SPEC_ENDS
+                return False
+        return has_digits
+
+    # -- TryCreateWordAndPut2List (Tokenizer.cs:897-983) --
+    def _try_create(self) -> None:
+        if self.cur_len == 0:
+            return
+        start, length = self.start_index, self.cur_len
+        if self.replace_nums:
+            if self._is_num_token(start, length):
+                if not self.is_prev_num:
+                    self.is_prev_num = True
+                    w = Word(NUM_PLACEHOLDER, NUM_PLACEHOLDER, start, length, IT_NUM, EX_INTEGER_NUMBER)
+                    self.last_num = w
+                    self.words.append(w)
+                self.start_index += length
+                self.cur_len = 0
+                return
+            if self.last_num is not None:
+                i = 1
+                ln = start - self.last_num.start
+                while i < ln:
+                    if not (int(_CT[self.ch(start - i)]) & _WS):
+                        break
+                    i += 1
+                self.last_num.length = start - self.last_num.start - i + 1
+                self.last_num = None
+            self.is_prev_num = False
+
+        value = xlat.from_u16(self.u, start, length)
+        upper = "".join(chr(_UP[int(self.u[k])]) for k in range(start, start + length))
+        input_type, extra = get_input_type(self.u, start, length)
+        upper_uml = normalize_umlautes(upper, upper=True) if extra & EX_HAS_UMLAUTES else None
+        value = _clear_value_original(value, extra, self.u, start, length)
+        self.words.append(Word(value, upper, start, length, input_type, extra, upper_uml))
+        self.start_index += length
+        self.cur_len = 0
+
+    # -- MergePunctuation (Tokenizer.cs:1131-1171); returns (ok, new_i) --
+    def _merge_punct(self, i: int, begin_ch: int, end: int) -> tuple[bool, int]:
+        self.cur_len = 1
+        i += 1
+        ws_len = 0
+        while i <= end:
+            c = self.ch(i)
+            ct = int(_CT[c])
+            if ct & _WS:
+                ws_len += 1
+                i += 1
+                continue
+            if int(_SP[c]) & xlat.SP_INTERPRETE_AS_WHITESPACE:
+                ws_len += 1
+                i += 1
+                continue
+            if c == begin_ch:
+                self.cur_len += ws_len + 1
+                ws_len = 0
+                i += 1
+                continue
+            break
+        if i > end:
+            if self.cur_len == 1 and self.ch(end) == 0:
+                self.cur_len = 0
+            return False, i
+        return True, i - ws_len - 1
+
+    # -- SkipNonLetterAndNonDigitToTheEnd (Tokenizer.cs:985-1012) --
+    def _trim_end(self, s: int, e0: int) -> int:
+        ptr = e0
+        while ptr >= s:
+            ct = int(_CT[self.ch(ptr)])
+            if ct & _LD:
+                if ct & xlat.IS_UPPER:
+                    p = ptr - 1
+                    if p == s or (p > s and (int(_CT[self.ch(p)]) & _WS)):
+                        p = ptr + 1
+                        if p == e0 or (p < e0 and (int(_CT[self.ch(p + 1)]) & _WS)):
+                            if xlat.is_dot(self.ch(p)):
+                                return p
+                return ptr
+            ptr -= 1
+        return s - 1
+
+    def tokenize(self, sent: Sent) -> list[Word]:
+        self.words = []
+        self.is_prev_num = False
+        self.last_num = None
+        s = sent.start
+        self.start_index = s
+        self.cur_len = 0
+        realy_end = s + sent.length - 1
+
+        urls = sent.urls
+        url_idx = 0
+        next_url_start = urls[0].start if urls else 1 << 60
+
+        end = self._trim_end(s, realy_end)
+
+        i = s
+        while i <= end:
+            if next_url_start <= i:
+                self._try_create()
+                us = urls[url_idx]
+                i = us.start + us.length - 1
+                url_idx += 1
+                next_url_start = urls[url_idx].start if url_idx < len(urls) else 1 << 60
+                self.start_index = i + 1
+                self.cur_len = 0
+                i += 1
+                continue
+
+            c = self.ch(i)
+            ct = int(_CT[c])
+            if ct & _WS:
+                self._try_create()
+                self.start_index += 1
+                i += 1
+                continue
+
+            sp = int(_SP[c])
+            if (sp & xlat.SP_DOT) and not self._is_digit_at(i + 1, end):
+                self._try_create()
+                ok, i = self._merge_punct(i, c, end)
+                if not ok:
+                    break
+                self._try_create()
+                i += 1
+                continue
+
+            if sp & xlat.SP_BETWEEN_LETTER_OR_DIGIT:
+                if not (ct & xlat.IS_HYPHEN) and self._is_between(i, s, end, _LD):
+                    self.cur_len += 1
+                else:
+                    self._try_create()
+                    ok, i = self._merge_punct(i, c, end)
+                    if not ok:
+                        break
+                    self._try_create()
+                i += 1
+                continue
+            if sp & xlat.SP_BETWEEN_DIGIT:
+                if self._is_between(i, s, end, xlat.IS_DIGIT):
+                    self.cur_len += 1
+                else:
+                    self._try_create()
+                    ok, i = self._merge_punct(i, c, end)
+                    if not ok:
+                        break
+                    self._try_create()
+                i += 1
+                continue
+
+            if sp & xlat.SP_TOKENIZE_DIFFERENT_SEPARATELY:
+                self._try_create()
+                ok, i = self._merge_punct(i, c, end)
+                if not ok:
+                    break
+                self._try_create()
+                i += 1
+                continue
+
+            if sp & xlat.SP_INTERPRETE_AS_WHITESPACE:
+                self._try_create()
+                self.start_index += 1
+                i += 1
+                continue
+
+            self.cur_len += 1
+            i += 1
+
+        self._try_create()
+
+        # tail region: trailing non-letter/digit chars (Tokenizer.cs:829-879)
+        while i <= realy_end:
+            c = self.ch(i)
+            ct = int(_CT[c])
+            if ct & _WS:
+                self._try_create()
+                self.start_index += 1
+                i += 1
+                continue
+            sp = int(_SP[c])
+            if sp & xlat.SP_TOKENIZE_DIFFERENT_SEPARATELY:
+                self._try_create()
+                ok, i = self._merge_punct(i, c, realy_end)
+                if not ok:
+                    break
+                self._try_create()
+                i += 1
+                continue
+            if sp & xlat.SP_INTERPRETE_AS_WHITESPACE:
+                self._try_create()
+                self.start_index += 1
+                i += 1
+                continue
+            self.cur_len += 1
+            i += 1
+
+        self._try_create()
+
+        if urls:
+            for us in urls:
+                value = xlat.from_u16(self.u, us.start, us.length)
+                it = IT_EMAIL if us.type == EMAIL else IT_URL
+                self.words.append(Word(value, value, us.start, us.length, it, 0))
+            self.words.sort(key=lambda w: w.start)
+        return self.words
+
+    def _is_digit_at(self, p: int, end: int) -> bool:
+        if p > end:
+            return False
+        c = self.ch(p)
+        if c == 0:
+            return False
+        return bool(int(_CT[c]) & xlat.IS_DIGIT)
+
+    def _is_between(self, i: int, s: int, end: int, mask: int) -> bool:
+        if i <= s:
+            return False
+        if not (int(_CT[self.ch(i - 1)]) & mask):
+            return False
+        p = i + 1
+        if p > end:
+            return False
+        c = self.ch(p)
+        if c == 0:
+            return False
+        return bool(int(_CT[c]) & mask)
+
+
+def _clear_value_original(v: str, extra: int, u, start: int, length: int) -> str:
+    # Clear_valueOriginal (Tokenizer.cs:1213-1278)
+    if not (extra & EX_PUNCTUATION):
+        return v
+    if length == 1:
+        c = ord(v[0])
+        if c in _KEEP_PUNCT_1:
+            return v
+        ct = int(_CT[c])
+        if ct & xlat.IS_HYPHEN:
+            return v if v == "-" else "-"
+        if (ct & xlat.IS_QUOTE) == xlat.IS_QUOTE:
+            return v if c in _KEEP_QUOTE_1 else '"'
+        return v
+    if v == "''":
+        return '"'
+    if v == ",,":
+        return ","
+    if v == "--":
+        return "-"
+    return v
+
+
+def tokenize_text(text: str, replace_nums: bool = True) -> list[list[Word]]:
+    """TryTokenizeBySents (PosTaggerExtensions.cs:61-72): Simple sentence
+    split + Simple tokenize per sentence, empty sentences dropped."""
+    u = xlat.to_u16(text)
+    urls = allocate_urls(text, u)
+    sents = split_sents_simple(text, u, urls)
+    tk = _SentTokenizer(u, replace_nums)
+    out = []
+    for sent in sents:
+        words = tk.tokenize(sent)
+        if words:
+            out.append(words)
+    return out
+
+
+def get_original_value(w: Word, text: str) -> str:
+    # Tokenizer.GetOriginalValue (Tokenizer.cs:1347-1354)
+    if w.input_type == IT_NUM:
+        return text[w.start : w.start + w.length]
+    return w.value
