@@ -1,0 +1,136 @@
+"""Benchmark driver — prints ONE JSON line with headline timings.
+
+  python bench.py             # $RAY_GRAFT_CPUS (default 32) over $GRAFT_SF_DIR
+  python bench.py --scaling   # same input at num_cpus=8 and 32 in fresh
+                              # processes; reports scaling efficiency
+
+Headline metric: end-to-end KG construction seconds (read → sort →
+tokenize → tag (actor pool) → triples → link → conflate → write), plus
+per-operator timings. Throughputs (turns/s, triples/s) are included for
+BASELINE.md. BLAS threading is pinned to 1 so actor-pool scaling is
+measured, not library parallelism.
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _run_scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(json.dumps({
+        "metric": "kg_e2e_scaling",
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"turns_per_sec_{lo}": r_lo.get("turns_per_sec"),
+        f"turns_per_sec_{hi}": r_hi.get("turns_per_sec"),
+        "scaling_efficiency": round(eff, 3),
+        "sf": r_hi.get("sf"),
+    }))
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        _run_scaling()
+        return
+
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    import logging
+
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from lingvo__postagger_ner_ru_dnn_ray.sources.transcripts import (
+        sf_of_dir,
+        transcripts_for_sf,
+    )
+    from lingvo__postagger_ner_ru_dnn_ray.pipelines.kg import run_kg_job
+    from lingvo__postagger_ner_ru_dnn_ray.stages import dataops
+
+    sf = sf_of_dir(SF_DIR)
+    tpath = transcripts_for_sf(SF_DIR)  # built before timing
+
+    import glob
+
+    import pyarrow.parquet as pq
+
+    n_turns = sum(pq.ParquetFile(f).metadata.num_rows for f in glob.glob(f"{tpath}/*.parquet"))
+
+    # warm the page cache so we measure compute + shuffle, not first disk read
+    ray.data.read_parquet(tpath).count()
+
+    queries: dict[str, float] = {}
+    tag_conc = max(2, NUM_CPUS // 2)
+
+    out_dir = f"/tmp/bench_kg_{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    res = run_kg_job(
+        tpath, out_dir, num_partitions=16, resume=False,
+        tag_concurrency=tag_conc, tag_batch_size=512,
+    )
+    kg_sec = time.perf_counter() - t0
+    queries["kg_e2e"] = round(kg_sec, 3)
+    n_triples = res["rows"]["triples"]
+
+    def timed(name: str, fn) -> None:
+        t = time.perf_counter()
+        ds = fn(SF_DIR)
+        # consume the stream without materializing on the driver
+        n = ds.count()
+        queries[name] = round(time.perf_counter() - t, 3)
+        queries[f"{name}_rows"] = n
+
+    timed("doc_dedup_exact", dataops.doc_dedup_exact)
+    timed("doc_minhash_pairs", dataops.doc_minhash_pairs)
+    timed("doc_token_freq", dataops.doc_token_freq)
+    timed("emb_ann_topk", dataops.emb_ann_topk)
+    timed("events_window", dataops.events_window)
+    timed("lineitem_pricing", dataops.lineitem_pricing)
+
+    print(json.dumps({
+        "metric": "kg_e2e_sec",
+        "value": round(kg_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "n_turns": n_turns,
+        "n_triples": n_triples,
+        "turns_per_sec": round(n_turns / kg_sec, 1),
+        "triples_per_sec": round(n_triples / kg_sec, 1),
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+"""End-to-end distributed tests: the Ray pipeline must equal the
+single-process oracle exactly, at different block/parallelism layouts, and
+resume must complete only missing partitions (FIXTURES.md F5/F6)."""
+import json
+import shutil
+from pathlib import Path
+
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from lingvo__postagger_ner_ru_dnn_ray.pipelines.kg import (
+    linked_triples,
+    mention_rows,
+    read_transcripts,
+    run_kg_job,
+    tagged_sentences,
+)
+from lingvo__postagger_ner_ru_dnn_ray.pipelines.oracle import oracle_tables
+from lingvo__postagger_ner_ru_dnn_ray.sources.transcripts import (
+    ensure_transcripts,
+    synth_transcripts_table,
+)
+from lingvo__postagger_ner_ru_dnn_ray.stages.mentions import decode_bio
+
+N_TURNS = 300
+SEED = 7
+
+
+@pytest.fixture(scope="module")
+def fixture_path(ray_session):
+    return ensure_transcripts(N_TURNS, seed=SEED, n_files=4)
+
+
+@pytest.fixture(scope="module")
+def oracle(fixture_path):
+    return oracle_tables(synth_transcripts_table(N_TURNS, seed=SEED))
+
+
+def _sorted_df(tbl, keys):
+    df = tbl.to_pandas() if not hasattr(tbl, "sort_values") else tbl
+    return df.sort_values(keys).reset_index(drop=True)[sorted(df.columns)]
+
+
+TRIPLE_KEYS = ["conv_id", "turn_idx", "sent_idx", "triple_idx"]
+
+
+@pytest.mark.parametrize("num_blocks", [2, 16])
+def test_distributed_equals_oracle(fixture_path, oracle, num_blocks):
+    ds = read_transcripts(fixture_path).repartition(num_blocks)
+    ds = ds.sort(["conv_id", "turn_idx"])
+    sents = tagged_sentences(ds, tag_concurrency=2, tag_batch_size=64)
+    tri = linked_triples(sents).to_pandas()
+    want = oracle["triples"].to_pandas()
+    assert _sorted_df(tri, TRIPLE_KEYS).equals(_sorted_df(want, TRIPLE_KEYS))
+
+
+def test_mentions_match_oracle(fixture_path, oracle):
+    ds = read_transcripts(fixture_path).sort(["conv_id", "turn_idx"])
+    m = mention_rows(tagged_sentences(ds, tag_concurrency=2)).to_pandas()
+    want = oracle["mentions"].to_pandas()
+    keys = ["conv_id", "turn_idx", "sent_idx", "mention_idx"]
+    assert _sorted_df(m, keys).equals(_sorted_df(want, keys))
+
+
+def test_bio_decode():
+    assert decode_bio(["O", "B-PER", "I-PER", "O", "B-LOC"]) == [(1, 3, "PER"), (4, 5, "LOC")]
+    # leading I- repairs to a span start; type switch without B starts new span
+    assert decode_bio(["I-ORG", "I-PER"]) == [(0, 1, "ORG"), (1, 2, "PER")]
+    assert decode_bio(["B-PER", "B-PER"]) == [(0, 1, "PER"), (1, 2, "PER")]
+    assert decode_bio([]) == []
+
+
+def test_kg_job_and_resume(fixture_path, oracle, tmp_path):
+    out = tmp_path / "kg"
+    res = run_kg_job(fixture_path, str(out), num_partitions=4, tag_concurrency=2)
+    assert res["rows"]["triples"] == oracle["triples"].num_rows
+
+    full_triples = pq.read_table(out / "triples").drop(["part"])
+    assert _sorted_df(full_triples, TRIPLE_KEYS).equals(
+        _sorted_df(oracle["triples"], TRIPLE_KEYS)
+    )
+
+    # second run is a no-op (all manifests complete)
+    res2 = run_kg_job(fixture_path, str(out), num_partitions=4)
+    assert res2["skipped"]
+
+    # kill-simulation: destroy partitions 1 and 2, resume rebuilds ONLY them
+    untouched = (out / "triples" / "part=0" / "_manifest.json").stat().st_mtime_ns
+    for t in ("triples", "edges", "nodes"):
+        for p in (1, 2):
+            shutil.rmtree(out / t / f"part={p}", ignore_errors=True)
+    res3 = run_kg_job(fixture_path, str(out), num_partitions=4, tag_concurrency=2)
+    assert res3["partitions_run"] == [1, 2]
+    assert (out / "triples" / "part=0" / "_manifest.json").stat().st_mtime_ns == untouched
+
+    resumed = pq.read_table(out / "triples").drop(["part"])
+    assert _sorted_df(resumed, TRIPLE_KEYS).equals(_sorted_df(full_triples, TRIPLE_KEYS))
+
+    m = json.loads((out / "edges" / "part=3" / "_manifest.json").read_text())
+    assert m["complete"] and m["rows"] >= 0 and m["config_hash"]
+
+
+def test_edges_nodes_global_view(fixture_path, oracle, tmp_path):
+    out = tmp_path / "kg2"
+    run_kg_job(fixture_path, str(out), num_partitions=2, tag_concurrency=2)
+    e = pq.read_table(out / "edges").to_pandas()
+    e_glob = e.groupby(["subj_id", "pred", "obj_id"], as_index=False).agg(
+        weight=("weight", "sum"),
+        subj_type=("subj_type", "min"),
+        obj_type=("obj_type", "min"),
+        subj_canon=("subj_canon", "min"),
+        obj_canon=("obj_canon", "min"),
+    )
+    keys = ["subj_id", "pred", "obj_id"]
+    assert _sorted_df(e_glob, keys).equals(_sorted_df(oracle["edges"], keys))
+
+    n = pq.read_table(out / "nodes").to_pandas()
+    n_glob = n.groupby(["entity_id"], as_index=False).agg(
+        n_mentions=("n_mentions", "sum"),
+        canonical=("canonical", "min"),
+        type=("type", "min"),
+    )
+    assert _sorted_df(n_glob, ["entity_id"]).equals(_sorted_df(oracle["nodes"], ["entity_id"]))
