@@ -60,6 +60,10 @@ def _ensure_kg_oracle(sf_dir: str) -> str:
     outp = Path(out)
     if (outp / "_SUCCESS").exists():
         return out
+    if outp.exists():
+        import shutil
+
+        shutil.rmtree(outp)
     n = max(200, int(600_000 * sf_of_dir(sf_dir)))
     tables = oracle_tables(synth_transcripts_table(n, seed=42))
     outp.mkdir(parents=True, exist_ok=True)
@@ -86,6 +90,10 @@ def _ensure_kg_ray(sf_dir: str) -> str:
     outp = Path(out)
     if (outp / "_SUCCESS").exists():
         return out
+    if outp.exists():
+        import shutil
+
+        shutil.rmtree(outp)
     path = transcripts_for_sf(sf_dir)
     ds = read_transcripts(path).sort(["conv_id", "turn_idx"])
     sents = tagged_sentences(ds)
@@ -177,11 +185,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
-def oracle_sql() -> dict[str, str]:
-    # the kg_* oracles read the single-process reference run at sf0.01
-    orc = _ensure_kg_oracle("/root/testdata/sf0.01")
-
-    kg = {
+def _kg_sql(orc: str) -> dict[str, str]:
+    return {
         "kg_triples": f"SELECT * FROM read_parquet('{orc}/triples.parquet')",
         "kg_mentions": f"SELECT * FROM read_parquet('{orc}/mentions.parquet')",
         "kg_edges": f"SELECT * FROM read_parquet('{orc}/edges.parquet')",
@@ -192,7 +197,11 @@ def oracle_sql() -> dict[str, str]:
             ") GROUP BY pos"
         ),
     }
-    sql = {
+
+
+def _dataops_sql() -> dict[str, str]:
+    """Pure-SQL semantic oracles (no side effects; unit-testable at any sf)."""
+    return {
         "doc_dedup_exact": (
             "SELECT min(doc_id) AS doc_id, count(*) AS n_dups "
             "FROM documents GROUP BY md5(text)"
@@ -247,7 +256,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_window": (
             "SELECT user_id, event_type, date_trunc('hour', ts) AS window_start, "
-            "sum(cast(round(value*100) AS BIGINT)) AS sum_cents, "
+            "sum(cast(round(value*100) AS BIGINT))::BIGINT AS sum_cents, "
             "count(*)::BIGINT AS n_events "
             "FROM events GROUP BY user_id, event_type, date_trunc('hour', ts)"
         ),
@@ -263,14 +272,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lineitem_pricing": (
             "SELECT l_returnflag, l_linestatus, "
-            "sum(cast(l_quantity AS BIGINT)) AS sum_qty, "
-            "sum(cast(round(l_extendedprice*100) AS BIGINT)) AS sum_price_cents, "
+            "sum(cast(l_quantity AS BIGINT))::BIGINT AS sum_qty, "
+            "sum(cast(round(l_extendedprice*100) AS BIGINT))::BIGINT AS sum_price_cents, "
             "count(*)::BIGINT AS n_rows "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
         "orders_by_nation": (
             "SELECT n.n_name AS nation, "
-            "sum(cast(round(o.o_totalprice*100) AS BIGINT)) AS sum_cents, "
+            "sum(cast(round(o.o_totalprice*100) AS BIGINT))::BIGINT AS sum_cents, "
             "count(*)::BIGINT AS n_orders "
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
             "JOIN nation n ON c.c_nationkey = n.n_nationkey "
@@ -283,5 +292,11 @@ def oracle_sql() -> dict[str, str]:
         # doc_minhash_pairs / doc_simhash / doc_fingerprint: hash-seeded
         # operators with no SQL equivalent -> rows-only check (by design)
     }
-    sql.update(kg)
+
+
+def oracle_sql() -> dict[str, str]:
+    # the kg_* oracles read the single-process reference run at sf0.01 (the
+    # driver's correctness scale); materialized here so the SQL can read it
+    sql = _dataops_sql()
+    sql.update(_kg_sql(_ensure_kg_oracle("/root/testdata/sf0.01")))
     return sql

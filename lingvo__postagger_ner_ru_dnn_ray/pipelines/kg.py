@@ -67,10 +67,13 @@ def linked_triples(
     t = sent_ds.map_batches(triples_batch, batch_format="pyarrow")
     if dict_ref is None:
         dict_ref = put_linking_dict()
+    # dict lookups are cheap: fractional CPU per linker actor so the pool
+    # never starves the read/sort/write task operators (guide §actor-pools)
     return t.map_batches(
         LinkerStage,
         batch_format="pyarrow",
         concurrency=link_concurrency,
+        num_cpus=0.25,
         fn_constructor_kwargs={"dict_ref": dict_ref, "columns": ("subj", "obj")},
     )
 

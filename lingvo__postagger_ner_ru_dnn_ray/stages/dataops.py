@@ -290,12 +290,13 @@ def doc_simhash(sf_dir: str) -> ray.data.Dataset:
     """64-bit SimHash over whitespace tokens (deterministic crc-based)."""
 
     def fn(batch: pa.Table) -> pa.Table:
+        shifts = np.arange(64, dtype=np.uint64)
         out = []
         for text in batch.column("text").to_pylist():
             acc = np.zeros(64, dtype=np.int64)
             for w in text.split(" "):
-                h = (zlib.crc32(w.encode()) << 32) | zlib.crc32(w[::-1].encode())
-                bits = (h >> np.arange(64)) & 1
+                h = np.uint64((zlib.crc32(w.encode()) << 32) | zlib.crc32(w[::-1].encode()))
+                bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
                 acc += np.where(bits == 1, 1, -1)
             val = 0
             for i in range(64):

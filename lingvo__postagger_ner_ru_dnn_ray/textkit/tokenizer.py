@@ -127,7 +127,7 @@ class _SentTokenizer:
             self.is_prev_num = False
 
         value = xlat.from_u16(self.u, start, length)
-        upper = "".join(chr(_UP[int(self.u[k])]) for k in range(start, start + length))
+        upper = xlat.from_u16(_UP[self.u[start : start + length]], 0, length)
         input_type, extra = get_input_type(self.u, start, length)
         upper_uml = normalize_umlautes(upper, upper=True) if extra & EX_HAS_UMLAUTES else None
         value = _clear_value_original(value, extra, self.u, start, length)
