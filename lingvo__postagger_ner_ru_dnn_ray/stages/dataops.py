@@ -235,24 +235,29 @@ def doc_minhash_pairs(sf_dir: str, verify_threshold_pct: int = 1) -> ray.data.Da
             names=["doc_id", "band", "bucket"],
         )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(group["doc_id"].tolist()))
-        if len(ids) < 2:
+    def band_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        # one group PER BAND (32 total, not one per bucket): vectorized
+        # collision detection inside the group avoids per-bucket Python
+        # call overhead at scale
+        g = group[group.duplicated("bucket", keep=False)]
+        if g.empty:
             return pd.DataFrame(
                 {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
             )
         a_out, b_out = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_out.append(ids[i])
-                b_out.append(ids[j])
+        for _, ids in g.groupby("bucket")["doc_id"]:
+            ids = sorted(set(ids.tolist()))
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
         return pd.DataFrame(
             {"doc_a": pd.Series(a_out, dtype="int64"), "doc_b": pd.Series(b_out, dtype="int64")}
         )
 
     docs = _docs(sf_dir, ["doc_id", "text"])
     bands = docs.map_batches(to_bands, batch_format="pyarrow")
-    cand = bands.groupby(["band", "bucket"]).map_groups(bucket_pairs, batch_format="pandas")
+    cand = bands.groupby(["band"]).map_groups(band_pairs, batch_format="pandas")
     # dedup candidate pairs across bands
     cand = cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
 
