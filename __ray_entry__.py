@@ -151,6 +151,12 @@ def _kg_pos_label_counts(sf_dir: str):
     return part.groupby("pos").aggregate(Sum("n_tokens", alias_name="n_tokens"))
 
 
+def _media_features(sf_dir: str):
+    from lingvo__postagger_ner_ru_dnn_ray.stages.multimodal import media_features
+
+    return media_features(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from lingvo__postagger_ner_ru_dnn_ray.stages import dataops as d
 
@@ -175,6 +181,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search
         "emb_ann_topk": d.emb_ann_topk,
         "emb_neardup_pairs": d.emb_neardup_pairs,
+        # --- multimodal plumbing (stub codec; rows-only check)
+        "media_features": _media_features,
         # --- event-stream windowing
         "events_window": d.events_window,
         "events_sessions": d.events_sessions,

@@ -1,0 +1,51 @@
+"""Multimodal decode plumbing + debug formatters."""
+import pyarrow as pa
+import ray.data
+
+from lingvo__postagger_ner_ru_dnn_ray.functions.format import tagged_lines, validation_lines
+from lingvo__postagger_ner_ru_dnn_ray.stages.multimodal import (
+    DecoderStub,
+    decode_media,
+    synth_media_table,
+)
+
+
+def test_synth_media_deterministic():
+    a = synth_media_table(30, seed=9)
+    b = synth_media_table(30, seed=9)
+    assert a.equals(b)
+    assert a.schema.field("payload").type == pa.binary()
+
+
+def test_decoder_stub_local():
+    tbl = synth_media_table(10)
+    out = DecoderStub()(tbl)
+    assert out.num_rows == 10
+    assert out.column("n_bytes").to_pylist() == [len(p) for p in tbl.column("payload").to_pylist()]
+    # deterministic features
+    out2 = DecoderStub()(tbl)
+    assert out.equals(out2)
+
+
+def test_decode_media_actor_pool(ray_session):
+    ds = ray.data.from_arrow(synth_media_table(60))
+    out = decode_media(ds, concurrency=2, batch_size=16).to_pandas()
+    assert len(out) == 60
+    assert set(out["media_type"]) == {"image", "audio", "video"}
+    local = DecoderStub()(synth_media_table(60)).to_pandas()
+    got = out.sort_values("media_id").reset_index(drop=True)
+    want = local.sort_values("media_id").reset_index(drop=True)
+    assert got["width"].tolist() == want["width"].tolist()
+
+
+def test_tagged_lines():
+    s = tagged_lines(["Вася", "работает", "."], ["B-PER", "O", "O"])
+    lines = s.splitlines()
+    assert lines[0].startswith("Вася")
+    assert lines[1].startswith("B-PER")
+    assert "-" in lines[1]  # 'O' renders as '-'
+
+
+def test_validation_lines():
+    s = validation_lines(["a", "b"], ["O", "B-LOC"], ["O", "O"])
+    assert s == "src: a b\nref: O B-LOC\nhyp: O O\n"
