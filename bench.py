@@ -70,14 +70,17 @@ def main() -> None:
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
     from lingvo__postagger_ner_ru_dnn_ray.sources.transcripts import (
+        ensure_transcripts,
         sf_of_dir,
-        transcripts_for_sf,
     )
     from lingvo__postagger_ner_ru_dnn_ray.pipelines.kg import run_kg_job
     from lingvo__postagger_ner_ru_dnn_ray.stages import dataops
 
     sf = sf_of_dir(SF_DIR)
-    tpath = transcripts_for_sf(SF_DIR)  # built before timing
+    # bench input is 4× the correctness scale so compute dominates fixed
+    # overhead (actor startup, per-execution planning); built before timing
+    # and cached, so both scaling levels read the identical fixture
+    tpath = ensure_transcripts(max(2000, int(2_400_000 * sf)), seed=42, n_files=32)
 
     import glob
 
@@ -89,7 +92,9 @@ def main() -> None:
     ray.data.read_parquet(tpath).count()
 
     queries: dict[str, float] = {}
-    tag_conc = max(2, NUM_CPUS // 2)
+    # the fused tokenize+tag actor pool is the long pole: give it all but
+    # two CPUs (read/sort/write tasks keep the rest)
+    tag_conc = max(2, NUM_CPUS - 2)
 
     out_dir = f"/tmp/bench_kg_{NUM_CPUS}"
     shutil.rmtree(out_dir, ignore_errors=True)

@@ -24,7 +24,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from ..stages.conflate import conflate_edges, conflate_nodes
+from ..stages.conflate import conflate_edges, nodes_from_edges
 from ..stages.linking import LinkerStage, put_linking_dict
 from ..stages.mentions import mentions_batch
 from ..stages.tag import TaggerStage
@@ -139,13 +139,17 @@ def run_kg_job(
     triples = linked_triples(sents)
     triples = triples.map_batches(_add_part(p), batch_format="pyarrow")
 
-    # write triples once, reuse the written Parquet for the two aggregates
+    # write triples once; aggregate edges from the written Parquet; derive
+    # nodes from the (already aggregated, small) edges table — each triple
+    # contributes 1 to each endpoint, so per-endpoint sum of edge weights
+    # equals conflate_nodes over the raw triples (one fewer full pass)
     triples.write_parquet(out["triples"], partition_cols=["part"])
     tri_written = ray.data.read_parquet(out["triples"])
     conflate_edges(tri_written, extra_keys=["part"]).write_parquet(
         out["edges"], partition_cols=["part"]
     )
-    conflate_nodes(tri_written, extra_keys=["part"]).write_parquet(
+    edges_written = ray.data.read_parquet(out["edges"])
+    nodes_from_edges(edges_written, extra_keys=["part"]).write_parquet(
         out["nodes"], partition_cols=["part"]
     )
 

@@ -76,6 +76,42 @@ def conflate_edges(triples: Dataset, extra_keys: list[str] | None = None) -> Dat
     return out
 
 
+def nodes_from_edges(edges: Dataset, extra_keys: list[str] | None = None) -> Dataset:
+    """Node table derived from the already-aggregated edge table: each
+    triple contributed exactly 1 to its subject and object, so the
+    per-endpoint sum of edge weights equals ``conflate_nodes`` over the
+    raw triples — at a fraction of the input size."""
+    keys = (extra_keys or []) + ["entity_id"]
+
+    def partials(batch: pa.Table) -> pa.Table:
+        parts = []
+        for side in ("subj", "obj"):
+            parts.append(
+                pa.Table.from_arrays(
+                    [batch.column(k) for k in (extra_keys or [])]
+                    + [
+                        batch.column(f"{side}_id"),
+                        batch.column(f"{side}_canon"),
+                        batch.column(f"{side}_type"),
+                        batch.column("weight"),
+                    ],
+                    names=(extra_keys or []) + ["entity_id", "canonical", "type", "n_mentions"],
+                )
+            )
+        t = pa.concat_tables(parts)
+        g = t.group_by(keys).aggregate(
+            [("canonical", "min"), ("type", "min"), ("n_mentions", "sum")]
+        )
+        return g.rename_columns(keys + ["canonical", "type", "n_mentions"])
+
+    partial = edges.map_batches(partials, batch_format="pyarrow")
+    return partial.groupby(keys).aggregate(
+        Sum("n_mentions", alias_name="n_mentions"),
+        Min("canonical", alias_name="canonical"),
+        Min("type", alias_name="type"),
+    )
+
+
 def conflate_nodes(triples: Dataset, extra_keys: list[str] | None = None) -> Dataset:
     def partials(batch: pa.Table) -> pa.Table:
         if extra_keys:
