@@ -61,7 +61,7 @@ def tagged_sentences(
 def linked_triples(
     sent_ds: ray.data.Dataset,
     *,
-    link_concurrency: int | tuple[int, int] = 2,
+    link_concurrency: int | tuple[int, int] = 4,
     dict_ref=None,
 ) -> ray.data.Dataset:
     t = sent_ds.map_batches(triples_batch, batch_format="pyarrow")

@@ -25,7 +25,14 @@ from ..textkit.features import to_model_token_str
 NIL = "NIL"
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1 << 17)
 def normalize_surface(surface: str) -> str:
+    # memoized per worker process: real corpora draw surfaces from a
+    # heavy-tailed distribution, so the cache absorbs the per-char
+    # normalization cost (bounded LRU keeps memory flat at stream scale)
     return " ".join(to_model_token_str(w, 10000) for w in surface.split(" "))
 
 

@@ -201,7 +201,13 @@ def to_model_token(value: str, input_type: int, max_ending_length: int) -> str:
     return to_model_token_str(value, max_ending_length)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1 << 18)
 def to_model_token_str(token: str, max_ending_length: int) -> str:
+    # memoized per worker: token surface forms are heavy-tailed, so the
+    # per-char lower/fold/strip loop amortizes to a dict hit
     if token == NUM_PLACEHOLDER:
         return NUM_PLACEHOLDER
     chars = []
