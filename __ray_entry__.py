@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_freq": d.doc_token_freq,
         # --- similarity search
         "emb_ann_topk": d.emb_ann_topk,
+        "emb_ann_ivf": d.emb_ann_ivf,
         "emb_neardup_pairs": d.emb_neardup_pairs,
         # --- multimodal plumbing (stub codec; rows-only check)
         "media_features": _media_features,

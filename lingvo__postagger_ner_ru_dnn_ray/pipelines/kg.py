@@ -13,6 +13,17 @@
 Partition id = crc32(conv_id) % P — a pure function of the data, so a
 resumed run reproduces identical partition contents. Every map stage is
 idempotent and deterministic (SURVEY.md §4 requirement).
+
+Skew strategy (10^12-turn scale): extraction is PER-TURN (no cross-turn
+state), so a 10^8-turn conversation never pins a worker — only the sort
+needs conv locality, and Ray's sort range-partitions (conv_id, turn_idx)
+so a huge conversation spreads across contiguous ranges. The entity/edge
+conflation groupbys see skewed keys (hot entities), which the per-batch
+partial aggregation collapses to one row per key per batch BEFORE the
+shuffle — the combiner plays the role of salting (a salted two-phase
+groupby would only be needed if a single batch couldn't hold one row per
+distinct key, i.e. key cardinality ≈ batch size, which entity catalogs
+don't approach).
 """
 from __future__ import annotations
 
@@ -82,6 +93,29 @@ def mention_rows(sent_ds: ray.data.Dataset) -> ray.data.Dataset:
     return sent_ds.map_batches(mentions_batch, batch_format="pyarrow")
 
 
+def fused_linked_triples(
+    ds: ray.data.Dataset,
+    *,
+    concurrency: int | tuple[int, int] = 4,
+    batch_size: int = 256,
+    dict_ref=None,
+) -> ray.data.Dataset:
+    """transcripts → linked triples in ONE actor pool (stages/fused.py):
+    the pool owns all CPUs except read/sort/write tasks — the layout the
+    flagship job and bench use."""
+    from ..stages.fused import KgStage
+
+    if dict_ref is None:
+        dict_ref = put_linking_dict()
+    return ds.map_batches(
+        KgStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"dict_ref": dict_ref},
+    )
+
+
 def _add_part(p: int):
     def fn(batch: pa.Table) -> pa.Table:
         parts = _crc_parts(batch.column("conv_id").to_pylist(), p)
@@ -135,8 +169,9 @@ def run_kg_job(
         ds = ds.map_batches(_drop_done_parts(p, done), batch_format="pyarrow")
     ds = ds.sort(["conv_id", "turn_idx"])
 
-    sents = tagged_sentences(ds, tag_concurrency=tag_concurrency, tag_batch_size=tag_batch_size)
-    triples = linked_triples(sents)
+    triples = fused_linked_triples(
+        ds, concurrency=tag_concurrency, batch_size=tag_batch_size
+    )
     triples = triples.map_batches(_add_part(p), batch_format="pyarrow")
 
     # write triples once; aggregate edges from the written Parquet; derive

@@ -571,3 +571,84 @@ def part_topk(sf_dir: str, k: int = 10) -> ray.data.Dataset:
         .sort(["price_cents", "p_partkey"], descending=[True, False])
         .limit(k)
     )
+
+
+# --------------------------------------------------------------------------- #
+# IVF-bucketed ANN — the at-scale similarity-search path
+
+_IVF_CLUSTERS = 16
+_IVF_NPROBE = 4
+
+
+def _ivf_centroids(sample: np.ndarray, k: int, iters: int = 5) -> np.ndarray:
+    """Deterministic Lloyd iterations on a driver-side sample (k-means--).
+    At 100 TB the sample is a bounded random_shuffle().limit() draw."""
+    c = sample[:k].copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                c[j] = sample[m].mean(0)
+    return c
+
+
+def emb_ann_ivf(sf_dir: str) -> ray.data.Dataset:
+    """IVF top-k: corpus vectors bucketed by nearest centroid; each query
+    probes its _IVF_NPROBE nearest buckets only. Centroids + query matrix
+    broadcast once; per-batch work is two numpy matmuls over the probed
+    subset. Approximate (recall tested vs the brute-force baseline)."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    head = emb.filter(expr="vec_id < 256").to_pandas()
+    sample = np.stack(head["embedding"].to_numpy()).astype(np.float64)
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    cent = _ivf_centroids(sample, _IVF_CLUSTERS)
+    cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+
+    qdf = emb.filter(expr=f"vec_id < {_ANN_N_QUERIES}").to_pandas()
+    Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qids = qdf["vec_id"].to_numpy()
+    # buckets each query probes
+    probes = np.argsort(-(Qn @ cent.T), axis=1)[:, :_IVF_NPROBE]
+    ref = ray.put((qids, Qn, cent, probes))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qids, Qn, cent, probes = ray.get(ref)
+        vids = np.asarray(batch.column("vec_id"))
+        keep = vids >= _ANN_N_QUERIES
+        q_out, n_out, s_out = [], [], []
+        if keep.any():
+            M = np.stack(batch.column("embedding").to_pandas().to_numpy()[keep]).astype(np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            clusters = (Mn @ cent.T).argmax(1)
+            vkeep = vids[keep]
+            for qi in range(len(qids)):
+                sel = np.isin(clusters, probes[qi])
+                if not sel.any():
+                    continue
+                sims = Qn[qi] @ Mn[sel].T
+                vs = vkeep[sel]
+                k = min(_ANN_K, len(vs))
+                idx = np.argsort(-sims, kind="stable")[:k]
+                for j in idx:
+                    q_out.append(int(qids[qi]))
+                    n_out.append(int(vs[j]))
+                    s_out.append(float(sims[j]))
+        return pa.Table.from_arrays(
+            [pa.array(q_out, pa.int64()), pa.array(n_out, pa.int64()),
+             pa.array(s_out, pa.float64())],
+            names=["query_id", "neighbor_id", "sim"],
+        )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(_ANN_K)
+        g = g.reset_index(drop=True)
+        return pd.DataFrame(
+            {"query_id": g["query_id"], "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+             "neighbor_id": g["neighbor_id"]}
+        )
+
+    cand = emb.map_batches(partial_topk, batch_format="pyarrow")
+    return cand.groupby("query_id").map_groups(final_topk, batch_format="pandas")

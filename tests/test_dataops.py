@@ -80,3 +80,19 @@ def test_simhash_deterministic(ray_session):
     b = doc_simhash(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
     assert a["simhash"].nunique() > 1
+
+
+def test_ivf_recall_vs_bruteforce(ray_session):
+    from lingvo__postagger_ner_ru_dnn_ray.stages.dataops import emb_ann_ivf, emb_ann_topk
+
+    exact = emb_ann_topk(SF).to_pandas()
+    approx = emb_ann_ivf(SF).to_pandas()
+    e = set(zip(exact["query_id"], exact["neighbor_id"]))
+    a = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.4  # nprobe=4/16 buckets on random vectors
+    # deterministic
+    again = emb_ann_ivf(SF).to_pandas()
+    assert approx.sort_values(["query_id", "rank"]).reset_index(drop=True).equals(
+        again.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
