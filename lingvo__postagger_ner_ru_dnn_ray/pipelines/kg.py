@@ -50,8 +50,14 @@ def _crc_parts(conv_ids: list[str], p: int) -> np.ndarray:
     return np.array([zlib.crc32(c.encode("utf-8")) % p for c in conv_ids], dtype=np.int32)
 
 
-def read_transcripts(input_path: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(input_path, columns=TRANSCRIPT_COLUMNS)
+def read_transcripts(input_path: str, override_num_blocks: int | None = None) -> ray.data.Dataset:
+    """Column-pruned read. ``override_num_blocks`` sets shuffle/actor-pool
+    granularity: an actor-pool task consumes one block, so blocks should
+    outnumber pool actors ~8× to smooth stragglers (64 blocks over a
+    30-actor pool = two waves + a long tail)."""
+    return ray.data.read_parquet(
+        input_path, columns=TRANSCRIPT_COLUMNS, override_num_blocks=override_num_blocks
+    )
 
 
 def tagged_sentences(
@@ -164,7 +170,8 @@ def run_kg_job(
     if not todo:
         return {"skipped": True, "partitions_done": sorted(done)}
 
-    ds = read_transcripts(input_path)
+    pool = tag_concurrency if isinstance(tag_concurrency, int) else tag_concurrency[-1]
+    ds = read_transcripts(input_path, override_num_blocks=max(64, pool * 8))
     if done:
         ds = ds.map_batches(_drop_done_parts(p, done), batch_format="pyarrow")
     ds = ds.sort(["conv_id", "turn_idx"])
