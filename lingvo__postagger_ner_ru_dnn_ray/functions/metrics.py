@@ -90,3 +90,22 @@ def triple_prf(got: pd.DataFrame, want: pd.DataFrame, keys: list[str]) -> dict:
     r = tp / len(w) if w else 1.0
     f = 2 * p * r / (p + r) if p + r else 0.0
     return {"precision": p, "recall": r, "f1": f, "got": len(g), "want": len(w)}
+
+
+def length_histogram(ds: ray.data.Dataset, list_column: str, bucket: int = 100) -> pd.DataFrame:
+    """Token-length histogram in len//bucket buckets (Corpus.cs:210-213,
+    246-268): partial counts per batch -> tiny groupby sum."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partials(batch: pa.Table) -> pa.Table:
+        lens = pc.list_value_length(batch.column(list_column))
+        b = pc.cast(pc.floor(pc.divide(pc.cast(lens, pa.float64()), float(bucket))), pa.int64())
+        t = pa.Table.from_arrays([b], names=["bucket"])
+        g = t.group_by(["bucket"]).aggregate([([], "count_all")])
+        return g.rename_columns(["bucket", "n"])
+
+    agg = ds.map_batches(partials, batch_format="pyarrow").groupby("bucket").aggregate(
+        Sum("n", alias_name="n")
+    )
+    return agg.to_pandas().sort_values("bucket").reset_index(drop=True)

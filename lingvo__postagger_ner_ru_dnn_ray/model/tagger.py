@@ -142,6 +142,18 @@ class SeqLabelModel:
         labels = self.labels
         return [[labels[lab_ids[r, j]] for j in range(lens[r])] for r in range(B)]
 
+    def words_in_dict_ratio(self, sents: list[list[str]]) -> list[float]:
+        """Fraction of tokens found in the source vocab per sentence
+        (SeqLabel.cs:194-216 WordsInDictRatio)."""
+        vocab = self.src_vocab.word_to_index
+        out = []
+        for toks in sents:
+            if not toks:
+                out.append(1.0)
+                continue
+            out.append(sum(1 for t in toks if t in vocab) / len(toks))
+        return out
+
 
 def build_lexical_tagger(
     token_label: dict[str, str],

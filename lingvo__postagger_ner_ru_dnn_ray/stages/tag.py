@@ -52,8 +52,9 @@ def _correct_pos(input_types, extras, raw_labels):
 
 
 class TaggerStage:
-    def __init__(self):
+    def __init__(self, with_dict_ratio: bool = False):
         self.pos_model, self.ner_model = taggers()
+        self.with_dict_ratio = with_dict_ratio
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         values = batch.column("values").to_pylist()
@@ -88,4 +89,14 @@ class TaggerStage:
         out = batch.append_column("pos", pa.array(pos, pa.list_(pa.string())))
         out = out.append_column("pos_raw", pa.array(pos_raw_padded, pa.list_(pa.string())))
         out = out.append_column("ner", pa.array(ner, pa.list_(pa.string())))
+        if self.with_dict_ratio:
+            # SeqLabel.cs:194-216 WordsInDictRatio per sentence
+            out = out.append_column(
+                "pos_dict_ratio",
+                pa.array(self.pos_model.words_in_dict_ratio(pos_in), pa.float32()),
+            )
+            out = out.append_column(
+                "ner_dict_ratio",
+                pa.array(self.ner_model.words_in_dict_ratio(ner_in), pa.float32()),
+            )
         return out

@@ -94,3 +94,29 @@ def test_triple_prf():
     want = pd.DataFrame({"s": ["a", "c"], "o": ["x", "z"]})
     m = triple_prf(got, want, ["s", "o"])
     assert m["precision"] == 0.5 and m["recall"] == 0.5
+
+
+def test_length_histogram(ray_session, corpus_dir):
+    from lingvo__postagger_ner_ru_dnn_ray.functions.metrics import length_histogram
+
+    ds = read_conll(corpus_dir)
+    df = length_histogram(ds, "src_tokens", bucket=3)
+    # sentences of len 2 and 3 -> buckets 0 (len 2) and 1 (len 3)
+    assert df["n"].sum() == 6
+    assert set(df["bucket"]) == {0, 1}
+
+
+def test_tagger_dict_ratio(ray_session):
+    import pyarrow as pa
+
+    from lingvo__postagger_ner_ru_dnn_ray.stages.tag import TaggerStage
+    from lingvo__postagger_ner_ru_dnn_ray.stages.tokenize import tokenize_batch
+
+    batch = pa.table(
+        {"conv_id": ["c"], "turn_idx": pa.array([0], pa.int32()),
+         "role": ["user"], "text": ["Вася Козлов посетил Москву."]}
+    )
+    out = TaggerStage(with_dict_ratio=True)(tokenize_batch(batch))
+    assert "pos_dict_ratio" in out.column_names
+    r = out.column("ner_dict_ratio").to_pylist()[0]
+    assert 0.0 <= r <= 1.0
