@@ -73,13 +73,17 @@ class Word:
 class _SentTokenizer:
     __slots__ = (
         "u", "n", "s", "end", "words", "start_index", "cur_len",
-        "is_prev_num", "last_num", "replace_nums",
+        "is_prev_num", "last_num", "replace_nums", "dot_variant",
     )
 
-    def __init__(self, u16, replace_nums: bool):
+    def __init__(self, u16, replace_nums: bool, dot_variant: str = "simple"):
         self.u = u16
         self.n = len(u16)
         self.replace_nums = replace_nums
+        # "simple": always unstick dots (WebService path, Tokenizer.cs:732-744)
+        # "console": keep a dot in the word; flush immediately when the next
+        #            char is uppercase (batch path, Tokenizer.cs:491-497)
+        self.dot_variant = dot_variant
 
     def ch(self, i: int) -> int:
         return int(self.u[i]) if 0 <= i < self.n else 0
@@ -217,14 +221,22 @@ class _SentTokenizer:
                 continue
 
             sp = int(_SP[c])
-            if (sp & xlat.SP_DOT) and not self._is_digit_at(i + 1, end):
-                self._try_create()
-                ok, i = self._merge_punct(i, c, end)
-                if not ok:
-                    break
-                self._try_create()
-                i += 1
-                continue
+            if sp & xlat.SP_DOT:
+                if self.dot_variant == "console":
+                    # plain callback: dot accumulates; uppercase-next flushes
+                    self.cur_len += 1
+                    if self._is_upper_at(i + 1, end):
+                        self._try_create()
+                    i += 1
+                    continue
+                if not self._is_digit_at(i + 1, end):
+                    self._try_create()
+                    ok, i = self._merge_punct(i, c, end)
+                    if not ok:
+                        break
+                    self._try_create()
+                    i += 1
+                    continue
 
             if sp & xlat.SP_BETWEEN_LETTER_OR_DIGIT:
                 if not (ct & xlat.IS_HYPHEN) and self._is_between(i, s, end, _LD):
@@ -313,6 +325,15 @@ class _SentTokenizer:
             return False
         return bool(int(_CT[c]) & xlat.IS_DIGIT)
 
+    def _is_upper_at(self, p: int, end: int) -> bool:
+        # IsUpperNextChar (Tokenizer.cs:1080-1104)
+        if p > end:
+            return False
+        c = self.ch(p)
+        if c == 0:
+            return False
+        return bool(int(_CT[c]) & xlat.IS_UPPER)
+
     def _is_between(self, i: int, s: int, end: int, mask: int) -> bool:
         if i <= s:
             return False
@@ -363,6 +384,18 @@ def tokenize_text(text: str, replace_nums: bool = True) -> list[list[Word]]:
         if words:
             out.append(words)
     return out
+
+
+def tokenize_text_console(text: str, replace_nums: bool = True) -> list[Word]:
+    """Run_NoSentsAllocate (Tokenizer.cs:368-383): the console batch path —
+    the whole line is ONE sentence (no sentence splitting), URLs detected,
+    plain dot variant (dot kept in the word, uppercase-next flushes; this
+    is how 'U.N.' / '2010г.' stay single tokens on the console path)."""
+    u = xlat.to_u16(text)
+    urls = allocate_urls(text, u)
+    sent = Sent(0, len(u), tuple(urls))
+    tk = _SentTokenizer(u, replace_nums, dot_variant="console")
+    return tk.tokenize(sent)
 
 
 def get_original_value(w: Word, text: str) -> str:

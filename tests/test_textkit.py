@@ -194,3 +194,27 @@ def test_model_token_ending_truncation():
 def test_model_token_accent_strip_and_yo():
     assert to_model_token_str("Гло́кая", 10000) == "глокая"
     assert to_model_token_str("Фёдоров", 10000) == "федоров"
+
+
+# --------------------------- console (plain) variant ------------------------
+def test_console_variant_dot_handling():
+    from lingvo__postagger_ner_ru_dnn_ray.textkit.tokenizer import tokenize_text_console
+
+    # dot kept in word, uppercase-next flushes (Tokenizer.cs:491-497)
+    got = [w.value for w in tokenize_text_console("Против С.Козлова дело.")]
+    assert got == ["Против", "С.", "Козлова", "дело", "."]
+    # "2010г." stays one token -> NUM with unit suffix
+    got = [w.value for w in tokenize_text_console("в июле 2010г. военный")]
+    assert got == ["в", "июле", "[%NUM%]", "военный"]
+    # whole line is one sentence: no split at "! "
+    got = [w.value for w in tokenize_text_console("Да! Нет.")]
+    assert got == ["Да", "!", "Нет", "."]
+
+
+def test_console_variant_one_capital_with_dot():
+    from lingvo__postagger_ner_ru_dnn_ray.textkit.features import INPUT_TYPE_NAMES
+    from lingvo__postagger_ner_ru_dnn_ray.textkit.tokenizer import tokenize_text_console
+
+    words = tokenize_text_console("Против С.Козлова")
+    it = {w.value: INPUT_TYPE_NAMES[w.input_type] for w in words}
+    assert it["С."] == "OneCapitalWithDot"
