@@ -100,16 +100,15 @@ def main() -> None:
     ray.data.read_parquet(tpath).count()
 
     queries: dict[str, float] = {}
-    # the fused tokenize+tag actor pool is the long pole: give it all but
-    # two CPUs (read/sort/write tasks keep the rest)
-    tag_conc = max(2, NUM_CPUS - 2)
 
     out_dir = f"/tmp/bench_kg_{NUM_CPUS}"
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
+    # tag_concurrency=None -> fused stateless-task mode: warm workers are
+    # reused and the scheduler fills every free CPU (stages/fused.py)
     res = run_kg_job(
         tpath, out_dir, num_partitions=16, resume=False,
-        tag_concurrency=tag_conc, tag_batch_size=512,
+        tag_concurrency=None, tag_batch_size=512,
     )
     kg_sec = time.perf_counter() - t0
     queries["kg_e2e"] = round(kg_sec, 3)

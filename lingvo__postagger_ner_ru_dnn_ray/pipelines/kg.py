@@ -102,13 +102,20 @@ def mention_rows(sent_ds: ray.data.Dataset) -> ray.data.Dataset:
 def fused_linked_triples(
     ds: ray.data.Dataset,
     *,
-    concurrency: int | tuple[int, int] = 4,
+    concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 256,
     dict_ref=None,
 ) -> ray.data.Dataset:
-    """transcripts → linked triples in ONE actor pool (stages/fused.py):
-    the pool owns all CPUs except read/sort/write tasks — the layout the
-    flagship job and bench use."""
+    """transcripts → linked triples in ONE fused stage (stages/fused.py).
+
+    Default (``concurrency=None``): stateless tasks with module-singleton
+    state — warm workers are reused across executions and the scheduler
+    uses every free CPU. Pass an int/tuple to run the KgStage actor pool
+    instead (the layout for models shipped as external artifacts)."""
+    if concurrency is None:
+        from ..stages.fused import kg_stage_fn
+
+        return ds.map_batches(kg_stage_fn, batch_format="pyarrow", batch_size=batch_size)
     from ..stages.fused import KgStage
 
     if dict_ref is None:
@@ -147,7 +154,7 @@ def run_kg_job(
     *,
     num_partitions: int = 8,
     resume: bool = True,
-    tag_concurrency: int | tuple[int, int] = 4,
+    tag_concurrency: int | tuple[int, int] | None = None,
     tag_batch_size: int = 512,
 ) -> dict:
     """End-to-end job: writes triples/, edges/, nodes/ under ``out_dir``,
@@ -170,7 +177,10 @@ def run_kg_job(
     if not todo:
         return {"skipped": True, "partitions_done": sorted(done)}
 
-    pool = tag_concurrency if isinstance(tag_concurrency, int) else tag_concurrency[-1]
+    if tag_concurrency is None:
+        pool = int(ray.cluster_resources().get("CPU", 8))
+    else:
+        pool = tag_concurrency if isinstance(tag_concurrency, int) else tag_concurrency[-1]
     ds = read_transcripts(input_path, override_num_blocks=max(64, pool * 8))
     if done:
         ds = ds.map_batches(_drop_done_parts(p, done), batch_format="pyarrow")

@@ -36,3 +36,21 @@ class KgStage:
         tagged = self.tagger(sents)
         triples = triples_batch(tagged)
         return self.linker(triples)
+
+
+_FUSED_SINGLETON: KgStage | None = None
+
+
+def kg_stage_fn(batch: pa.Table) -> pa.Table:
+    """Stateless-TASK variant of KgStage: state lives in a module-level
+    singleton built once per WORKER PROCESS (Ray task workers are reused
+    across executions, so a warm cluster pays zero per-execution actor
+    startup, and the scheduler spreads tasks over every free CPU with no
+    pool-size tuning). Valid here because the models + dictionary are
+    deterministic module-level constructibles; a model shipped as a large
+    external artifact would use the KgStage actor + ray.put broadcast
+    instead."""
+    global _FUSED_SINGLETON
+    if _FUSED_SINGLETON is None:
+        _FUSED_SINGLETON = KgStage(dict_ref=None)
+    return _FUSED_SINGLETON(batch)

@@ -55,11 +55,12 @@ def test_distributed_equals_oracle(fixture_path, oracle, num_blocks):
     assert _sorted_df(tri, TRIPLE_KEYS).equals(_sorted_df(want, TRIPLE_KEYS))
 
 
-def test_fused_equals_modular(fixture_path, oracle):
+@pytest.mark.parametrize("concurrency", [None, 2])  # task mode and actor pool
+def test_fused_equals_modular(fixture_path, oracle, concurrency):
     from lingvo__postagger_ner_ru_dnn_ray.pipelines.kg import fused_linked_triples
 
     ds = read_transcripts(fixture_path).sort(["conv_id", "turn_idx"])
-    tri = fused_linked_triples(ds, concurrency=2, batch_size=64).to_pandas()
+    tri = fused_linked_triples(ds, concurrency=concurrency, batch_size=64).to_pandas()
     want = oracle["triples"].to_pandas()
     assert _sorted_df(tri, TRIPLE_KEYS).equals(_sorted_df(want, TRIPLE_KEYS))
 
