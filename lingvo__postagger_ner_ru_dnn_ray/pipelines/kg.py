@@ -213,3 +213,47 @@ def run_kg_job(
             n += m["rows"]
         rows[t] = n
     return {"skipped": False, "partitions_done": sorted(done), "partitions_run": todo, "rows": rows}
+
+
+def _main() -> None:
+    """CLI driver — `ray job submit -- python -m \
+    lingvo__postagger_ner_ru_dnn_ray.pipelines.kg --input DIR --out DIR`.
+    Owns its Ray session (guarded); library callers never init Ray."""
+    import argparse
+    import json
+
+    parser = argparse.ArgumentParser(description="KG construction job")
+    parser.add_argument("--input", required=True, help="transcript Parquet dir")
+    parser.add_argument("--out", required=True, help="output dir (triples/edges/nodes)")
+    parser.add_argument("--partitions", type=int, default=16)
+    parser.add_argument("--no-resume", action="store_true")
+    parser.add_argument("--batch-size", type=int, default=512)
+    parser.add_argument("--num-cpus", type=int, default=None)
+    args = parser.parse_args()
+
+    import ray as _ray
+
+    if not _ray.is_initialized():
+        _ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    res = run_kg_job(
+        args.input,
+        args.out,
+        num_partitions=args.partitions,
+        resume=not args.no_resume,
+        tag_batch_size=args.batch_size,
+    )
+    print(json.dumps(res))
+    _ray.shutdown()
+
+
+if __name__ == "__main__":
+    _main()
