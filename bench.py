@@ -88,7 +88,7 @@ def main() -> None:
     # bench input is 4× the correctness scale so compute dominates fixed
     # overhead (actor startup, per-execution planning); built before timing
     # and cached, so both scaling levels read the identical fixture
-    tpath = ensure_transcripts(max(2000, int(2_400_000 * sf)), seed=42, n_files=32)
+    tpath = ensure_transcripts(max(2000, int(9_600_000 * sf)), seed=42, n_files=64)
 
     import glob
 

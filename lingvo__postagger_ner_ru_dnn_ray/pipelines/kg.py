@@ -190,6 +190,10 @@ def run_kg_job(
         ds, concurrency=tag_concurrency, batch_size=tag_batch_size
     )
     triples = triples.map_batches(_add_part(p), batch_format="pyarrow")
+    # coalesce before the hive-partitioned write: N blocks × P partition
+    # values would otherwise explode into N·P tiny files (a 4000-file
+    # 60 MB table costs more to re-open than to aggregate)
+    triples = triples.repartition(max(p, 16))
 
     # write triples once; aggregate edges from the written Parquet; derive
     # nodes from the (already aggregated, small) edges table — each triple

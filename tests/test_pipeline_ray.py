@@ -132,3 +132,31 @@ def test_edges_nodes_global_view(fixture_path, oracle, tmp_path):
         type=("type", "min"),
     )
     assert _sorted_df(n_glob, ["entity_id"]).equals(_sorted_df(oracle["nodes"], ["entity_id"]))
+
+
+def test_long_turn_chunking_e2e(ray_session):
+    """A turn with a 500+-token sentence exercises Predict_Full chunking
+    (SeqLabel.cs:259-311) through the full distributed pipeline."""
+    import pyarrow as pa
+    import ray.data
+
+    from lingvo__postagger_ner_ru_dnn_ray.pipelines.kg import fused_linked_triples
+    from lingvo__postagger_ner_ru_dnn_ray.pipelines.oracle import oracle_tables
+
+    long_text = " ".join(["Сергей Козлов посетил Москву и"] * 100) + " уехал."
+    tbl = pa.table(
+        {
+            "conv_id": ["c0", "c0"],
+            "turn_idx": pa.array([0, 1], pa.int32()),
+            "role": ["user", "assistant"],
+            "text": [long_text, "Иван Смирнов основал «Газпром»."],
+            "tool": ["", ""],
+            "ts": pa.array([0, 1], pa.timestamp("us")),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    got = fused_linked_triples(ds, batch_size=8).to_pandas()
+    want = oracle_tables(tbl)["triples"].to_pandas()
+    keys = ["conv_id", "turn_idx", "sent_idx", "triple_idx"]
+    assert len(got) == len(want) > 50
+    assert _sorted_df(got, keys).equals(_sorted_df(want, keys))
