@@ -28,7 +28,19 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 def _run_scaling() -> None:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_KG_ONLY="1")
+        sf = 0.1
+        try:
+            from lingvo__postagger_ner_ru_dnn_ray.sources.transcripts import sf_of_dir
+
+            sf = sf_of_dir(SF_DIR)
+        except Exception:
+            pass
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_KG_ONLY="1",
+            GRAFT_BENCH_TURNS=str(max(8000, int(9_600_000 * sf))),
+        )
         out = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
             env=env, capture_output=True, text=True, check=True,
@@ -85,10 +97,14 @@ def main() -> None:
     from lingvo__postagger_ner_ru_dnn_ray.stages import dataops
 
     sf = sf_of_dir(SF_DIR)
-    # bench input is 4× the correctness scale so compute dominates fixed
-    # overhead (actor startup, per-execution planning); built before timing
-    # and cached, so both scaling levels read the identical fixture
-    tpath = ensure_transcripts(max(2000, int(9_600_000 * sf)), seed=42, n_files=64)
+    # per-round bench: 240k turns at sf0.1 (fast, headline throughput);
+    # --scaling overrides to 960k turns via GRAFT_BENCH_TURNS so compute
+    # dominates fixed overhead at both CPU levels. Built before timing and
+    # cached, so repeated runs read the identical fixture.
+    n_turns_target = int(os.environ.get("GRAFT_BENCH_TURNS", 0)) or max(
+        2000, int(2_400_000 * sf)
+    )
+    tpath = ensure_transcripts(n_turns_target, seed=42, n_files=64)
 
     import glob
 
