@@ -70,7 +70,7 @@ NER_LABELS = ("O", "B-PER", "I-PER", "B-ORG", "I-ORG", "B-LOC", "I-LOC")
 NER_LABEL_TO_ID = {s: i for i, s in enumerate(NER_LABELS)}
 NER_TYPE_OF = {"PER": "PER", "ORG": "ORG", "LOC": "LOC"}
 
-_CT = xlat.CHARTYPE
+_CT = xlat.CHARTYPE_L
 _ROMAN = frozenset(ord(c) for c in "IVXLCDM")
 _UMLAUTS = {ord(c) for c in "äöüÄÖÜß"}
 _UMLAUT_MAP = {
@@ -92,8 +92,8 @@ def get_input_type(u, start: int, length: int) -> tuple[int, int]:
     digit = upper = hyphen = punct = lower = dot = roman = 0
     has_umlautes = 0
     for k in range(start, start + length):
-        c = int(u[k])
-        ct = int(_CT[c])
+        c = u[k]
+        ct = _CT[c]
         if ct & xlat.IS_DIGIT:
             digit += 1
         elif ct & xlat.IS_LOWER:
@@ -116,7 +116,7 @@ def get_input_type(u, start: int, length: int) -> tuple[int, int]:
             punct += 1
 
     first_c = int(u[start])
-    first_ct = int(_CT[first_c])
+    first_ct = _CT[first_c]
     is_first_upper = length > 1 and (first_ct & xlat.IS_UPPER)
 
     if dot == 0 and digit != 0:
@@ -124,7 +124,7 @@ def get_input_type(u, start: int, length: int) -> tuple[int, int]:
             return IT_NUM_CAPITAL, has_umlautes
         if length > 1 and upper != 0:
             for k in range(start + 1, start + length):
-                ct = int(_CT[int(u[k])])
+                ct = _CT[u[k]]
                 if ct & xlat.IS_UPPER:
                     return IT_NUM_CAPITAL, has_umlautes
                 if ct & xlat.IS_LOWER:
@@ -152,7 +152,7 @@ def get_input_type(u, start: int, length: int) -> tuple[int, int]:
             if (
                 length == 3
                 and (first_ct & xlat.IS_HYPHEN)
-                and (int(_CT[int(u[start + 1])]) & xlat.IS_UPPER)
+                and (_CT[u[start + 1]] & xlat.IS_UPPER)
             ):
                 return IT_ONE_CAPITAL_WITH_DOT, has_umlautes
         if first_ct & xlat.IS_UPPER:

@@ -30,9 +30,10 @@ from . import xlat
 from .resources import STREETS_ENDS_COMPLEX_SUFFIX, STREETS_ENDS_SEPARATE
 from .urls import UrlSpan, allocate_urls
 
-_CT = xlat.CHARTYPE
-_SC = xlat.SENTCHARTYPE
-_UP = xlat.UPPER_INVARIANT
+_CTN = xlat.CHARTYPE           # vectorized path
+_CT = xlat.CHARTYPE_L          # scalar per-char path
+_SC = xlat.SENTCHARTYPE_L
+_UP = xlat.UPPER_INVARIANT_L
 
 _WS = xlat.IS_WHITESPACE
 _PUNCT = xlat.IS_PUNCTUATION
@@ -45,7 +46,7 @@ class Sent(NamedTuple):
 
 
 def _is_all_punct_or_ws(u, start: int, length: int) -> bool:
-    seg = _CT[u[start : start + length]]
+    seg = _CTN[u[start : start + length]]
     return bool(((seg & (_WS | _PUNCT)) != 0).all())
 
 
@@ -57,8 +58,10 @@ def split_sents_simple(text: str, u16=None, urls: list[UrlSpan] | None = None) -
     if urls is None:
         urls = allocate_urls(text, u)
 
+    ul = u.tolist()
+
     def ch(i: int) -> int:
-        return int(u[i]) if 0 <= i < n else 0
+        return ul[i] if 0 <= i < n else 0
 
     sents: list[Sent] = []
     sent_start = 0
@@ -114,7 +117,7 @@ def split_sents_simple(text: str, u16=None, urls: list[UrlSpan] | None = None) -
                 c = ch(j)
                 if c == 0:
                     return True
-                ct = int(_CT[c])
+                ct = (_CT[c])
                 if (ct & xlat.IS_BRACKET_RIGHT) == xlat.IS_BRACKET_RIGHT:
                     return True  # _OpenBrakets == 0 on the Simple path
                 if _SC[c] & xlat.SC_AFTER_THREE_DOT_ALLOWED_PUNCT:
@@ -129,7 +132,7 @@ def split_sents_simple(text: str, u16=None, urls: list[UrlSpan] | None = None) -
             c = ch(j)
             if c == 0:
                 return True
-            ct = int(_CT[c])
+            ct = (_CT[c])
             if (ct & xlat.IS_BRACKET_LEFT) == xlat.IS_BRACKET_LEFT or (
                 ct & xlat.IS_BRACKET_RIGHT
             ) == xlat.IS_BRACKET_RIGHT:
@@ -140,7 +143,7 @@ def split_sents_simple(text: str, u16=None, urls: list[UrlSpan] | None = None) -
                         return False
                     if _SC[c] & xlat.SC_AFTER_BRACKET_ALLOWED_PUNCT_4QMEP:
                         return False
-                    ct = int(_CT[c])
+                    ct = (_CT[c])
                     if not (ct & _WS) and not (ct & _PUNCT):
                         return True
                     j += 1
@@ -168,7 +171,7 @@ def split_sents_simple(text: str, u16=None, urls: list[UrlSpan] | None = None) -
         c = ch(i)
         if c == 0:
             break
-        sct = int(_SC[c])
+        sct = (_SC[c])
         if sct & xlat.SC_DOT:
             ok, i2 = try_skip_ws_until_crlf_or_eof(i)
             if ok:

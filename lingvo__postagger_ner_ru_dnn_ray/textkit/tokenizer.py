@@ -43,9 +43,10 @@ from .resources import DIGITS_SPEC_ENDS, NUM_PLACEHOLDER
 from .sentsplit import Sent, split_sents_simple
 from .urls import EMAIL, UrlSpan, allocate_urls
 
-_CT = xlat.CHARTYPE
-_SP = xlat.SPECTYPE
-_UP = xlat.UPPER_INVARIANT
+_CT = xlat.CHARTYPE_L          # scalar per-char path (list: faster indexing)
+_SP = xlat.SPECTYPE_L
+_UP = xlat.UPPER_INVARIANT_L
+_UPN = xlat.UPPER_INVARIANT    # vectorized path
 
 _WS = xlat.IS_WHITESPACE
 _LD = xlat.IS_LETTER | xlat.IS_DIGIT
@@ -72,12 +73,13 @@ class Word:
 
 class _SentTokenizer:
     __slots__ = (
-        "u", "n", "s", "end", "words", "start_index", "cur_len",
+        "u", "ul", "n", "s", "end", "words", "start_index", "cur_len",
         "is_prev_num", "last_num", "replace_nums", "dot_variant",
     )
 
     def __init__(self, u16, replace_nums: bool, dot_variant: str = "simple"):
         self.u = u16
+        self.ul = u16.tolist()  # per-char access path
         self.n = len(u16)
         self.replace_nums = replace_nums
         # "simple": always unstick dots (WebService path, Tokenizer.cs:732-744)
@@ -86,20 +88,21 @@ class _SentTokenizer:
         self.dot_variant = dot_variant
 
     def ch(self, i: int) -> int:
-        return int(self.u[i]) if 0 <= i < self.n else 0
+        return self.ul[i] if 0 <= i < self.n else 0
 
     # -- IsDigits_WithPunctuations_WithSpecEnds (Tokenizer.cs:1193-1211) --
     def _is_num_token(self, start: int, length: int) -> bool:
         has_digits = False
+        ul = self.ul
         for k in range(start, start + length):
-            c = int(self.u[k])
-            ct = int(_CT[c])
+            c = ul[k]
+            ct = _CT[c]
             if ct & xlat.IS_DIGIT:
                 has_digits = True
                 continue
             if not (ct & xlat.IS_PUNCTUATION):
                 if has_digits:
-                    end = "".join(chr(_UP[int(self.u[j])]) for j in range(k, start + length))
+                    end = "".join(chr(_UP[ul[j]]) for j in range(k, start + length))
                     return end in DIGITS_SPEC_ENDS
                 return False
         return has_digits
@@ -123,7 +126,7 @@ class _SentTokenizer:
                 i = 1
                 ln = start - self.last_num.start
                 while i < ln:
-                    if not (int(_CT[self.ch(start - i)]) & _WS):
+                    if not (_CT[self.ch(start - i)] & _WS):
                         break
                     i += 1
                 self.last_num.length = start - self.last_num.start - i + 1
@@ -131,8 +134,8 @@ class _SentTokenizer:
             self.is_prev_num = False
 
         value = xlat.from_u16(self.u, start, length)
-        upper = xlat.from_u16(_UP[self.u[start : start + length]], 0, length)
-        input_type, extra = get_input_type(self.u, start, length)
+        upper = xlat.from_u16(_UPN[self.u[start : start + length]], 0, length)
+        input_type, extra = get_input_type(self.ul, start, length)
         upper_uml = normalize_umlautes(upper, upper=True) if extra & EX_HAS_UMLAUTES else None
         value = _clear_value_original(value, extra, self.u, start, length)
         self.words.append(Word(value, upper, start, length, input_type, extra, upper_uml))
@@ -146,12 +149,12 @@ class _SentTokenizer:
         ws_len = 0
         while i <= end:
             c = self.ch(i)
-            ct = int(_CT[c])
+            ct = (_CT[c])
             if ct & _WS:
                 ws_len += 1
                 i += 1
                 continue
-            if int(_SP[c]) & xlat.SP_INTERPRETE_AS_WHITESPACE:
+            if (_SP[c]) & xlat.SP_INTERPRETE_AS_WHITESPACE:
                 ws_len += 1
                 i += 1
                 continue
@@ -171,13 +174,13 @@ class _SentTokenizer:
     def _trim_end(self, s: int, e0: int) -> int:
         ptr = e0
         while ptr >= s:
-            ct = int(_CT[self.ch(ptr)])
+            ct = (_CT[self.ch(ptr)])
             if ct & _LD:
                 if ct & xlat.IS_UPPER:
                     p = ptr - 1
-                    if p == s or (p > s and (int(_CT[self.ch(p)]) & _WS)):
+                    if p == s or (p > s and ((_CT[self.ch(p)]) & _WS)):
                         p = ptr + 1
-                        if p == e0 or (p < e0 and (int(_CT[self.ch(p + 1)]) & _WS)):
+                        if p == e0 or (p < e0 and ((_CT[self.ch(p + 1)]) & _WS)):
                             if xlat.is_dot(self.ch(p)):
                                 return p
                 return ptr
@@ -213,14 +216,14 @@ class _SentTokenizer:
                 continue
 
             c = self.ch(i)
-            ct = int(_CT[c])
+            ct = (_CT[c])
             if ct & _WS:
                 self._try_create()
                 self.start_index += 1
                 i += 1
                 continue
 
-            sp = int(_SP[c])
+            sp = (_SP[c])
             if sp & xlat.SP_DOT:
                 if self.dot_variant == "console":
                     # plain callback: dot accumulates; uppercase-next flushes
@@ -284,13 +287,13 @@ class _SentTokenizer:
         # tail region: trailing non-letter/digit chars (Tokenizer.cs:829-879)
         while i <= realy_end:
             c = self.ch(i)
-            ct = int(_CT[c])
+            ct = (_CT[c])
             if ct & _WS:
                 self._try_create()
                 self.start_index += 1
                 i += 1
                 continue
-            sp = int(_SP[c])
+            sp = (_SP[c])
             if sp & xlat.SP_TOKENIZE_DIFFERENT_SEPARATELY:
                 self._try_create()
                 ok, i = self._merge_punct(i, c, realy_end)
@@ -323,7 +326,7 @@ class _SentTokenizer:
         c = self.ch(p)
         if c == 0:
             return False
-        return bool(int(_CT[c]) & xlat.IS_DIGIT)
+        return bool((_CT[c]) & xlat.IS_DIGIT)
 
     def _is_upper_at(self, p: int, end: int) -> bool:
         # IsUpperNextChar (Tokenizer.cs:1080-1104)
@@ -332,12 +335,12 @@ class _SentTokenizer:
         c = self.ch(p)
         if c == 0:
             return False
-        return bool(int(_CT[c]) & xlat.IS_UPPER)
+        return bool((_CT[c]) & xlat.IS_UPPER)
 
     def _is_between(self, i: int, s: int, end: int, mask: int) -> bool:
         if i <= s:
             return False
-        if not (int(_CT[self.ch(i - 1)]) & mask):
+        if not ((_CT[self.ch(i - 1)]) & mask):
             return False
         p = i + 1
         if p > end:
@@ -345,7 +348,7 @@ class _SentTokenizer:
         c = self.ch(p)
         if c == 0:
             return False
-        return bool(int(_CT[c]) & mask)
+        return bool((_CT[c]) & mask)
 
 
 def _clear_value_original(v: str, extra: int, u, start: int, length: int) -> str:
@@ -356,7 +359,7 @@ def _clear_value_original(v: str, extra: int, u, start: int, length: int) -> str
         c = ord(v[0])
         if c in _KEEP_PUNCT_1:
             return v
-        ct = int(_CT[c])
+        ct = (_CT[c])
         if ct & xlat.IS_HYPHEN:
             return v if v == "-" else "-"
         if (ct & xlat.IS_QUOTE) == xlat.IS_QUOTE:

@@ -27,8 +27,8 @@ from .resources import (
 URL = 0
 EMAIL = 1
 
-_CT = xlat.CHARTYPE
-_UP = xlat.UPPER_INVARIANT
+_CT = xlat.CHARTYPE_L
+_UP = xlat.UPPER_INVARIANT_L
 
 
 class UrlSpan(NamedTuple):
@@ -38,15 +38,16 @@ class UrlSpan(NamedTuple):
 
 
 class _Scanner:
-    __slots__ = ("u", "n", "i")
+    __slots__ = ("u", "ul", "n", "i")
 
     def __init__(self, u16):
         self.u = u16
+        self.ul = u16.tolist()
         self.n = len(u16)
         self.i = 0
 
     def ch(self, i: int) -> int:
-        return int(self.u[i]) if 0 <= i < self.n else 0
+        return self.ul[i] if 0 <= i < self.n else 0
 
     # -- FindUrlEndOnTheRight (UrlDetector.cs:518-564) --
     def _right_end(self, offset: int) -> int:
@@ -233,7 +234,7 @@ def allocate_urls(text: str, u16=None) -> list[UrlSpan]:
     s = _Scanner(u16)
     out: list[UrlSpan] = []
     while s.i < s.n:
-        c = int(u16[s.i])
+        c = s.ul[s.i]
         if c == 0x2E:  # '.'
             save = s.i
             r = s._by_www()

@@ -186,6 +186,14 @@ UPPER_INVARIANT, LOWER_INVARIANT = _build_case_maps()
 SPECTYPE: np.ndarray = _build_spectype(CHARTYPE)
 SENTCHARTYPE: np.ndarray = _build_sentchartype(CHARTYPE)
 
+# Python-list mirrors for the scalar (per-char) hot paths: list indexing is
+# ~4× faster than numpy scalar indexing in tight FSM loops; the numpy
+# arrays remain the vectorized (whole-string) path.
+CHARTYPE_L: list[int] = CHARTYPE.tolist()
+SPECTYPE_L: list[int] = SPECTYPE.tolist()
+SENTCHARTYPE_L: list[int] = SENTCHARTYPE.tolist()
+UPPER_INVARIANT_L: list[int] = UPPER_INVARIANT.tolist()
+
 
 def to_u16(text: str) -> np.ndarray:
     """View a Python string as .NET-style UTF-16 code units."""
