@@ -191,6 +191,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing": d.lineitem_pricing,
         "orders_by_nation": d.orders_by_nation,
         "part_topk": d.part_topk,
+        "supplier_stats": d.supplier_stats,
+        "orders_by_month": d.orders_by_month,
+        "region_nation_counts": d.region_nation_counts,
+        "events_top_users": d.events_top_users,
     }
 
 
@@ -297,6 +301,29 @@ def _dataops_sql() -> dict[str, str]:
         "part_topk": (
             "SELECT p_partkey, cast(round(p_retailprice*100) AS BIGINT) AS price_cents "
             "FROM part ORDER BY price_cents DESC, p_partkey LIMIT 10"
+        ),
+        "supplier_stats": (
+            "SELECT s_nationkey, "
+            "min(cast(round(s_acctbal*100) AS BIGINT))::BIGINT AS min_bal, "
+            "max(cast(round(s_acctbal*100) AS BIGINT))::BIGINT AS max_bal, "
+            "sum(cast(round(s_acctbal*100) AS BIGINT))::BIGINT AS sum_bal, "
+            "count(*)::BIGINT AS n_suppliers "
+            "FROM supplier GROUP BY s_nationkey"
+        ),
+        "orders_by_month": (
+            "SELECT date_trunc('month', o_orderdate) AS month, o_orderstatus, "
+            "sum(cast(round(o_totalprice*100) AS BIGINT))::BIGINT AS sum_cents, "
+            "count(*)::BIGINT AS n_orders "
+            "FROM orders GROUP BY date_trunc('month', o_orderdate), o_orderstatus"
+        ),
+        "region_nation_counts": (
+            "SELECT r.r_name AS region, count(*)::BIGINT AS n_customers "
+            "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name"
+        ),
+        "events_top_users": (
+            "SELECT user_id, count(*)::BIGINT AS n_events FROM events "
+            "GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 20"
         ),
         # doc_minhash_pairs / doc_simhash / doc_fingerprint: hash-seeded
         # operators with no SQL equivalent -> rows-only check (by design)

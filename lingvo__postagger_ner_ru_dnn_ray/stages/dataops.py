@@ -652,3 +652,98 @@ def emb_ann_ivf(sf_dir: str) -> ray.data.Dataset:
 
     cand = emb.map_batches(partial_topk, batch_format="pyarrow")
     return cand.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------- #
+# additional relational coverage (all integer-exact vs the SQL oracles)
+
+def supplier_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-nation supplier account stats (min/max/count in cents)."""
+    s = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_arrays(
+            [batch.column("s_nationkey"), _cents(batch.column("s_acctbal"))],
+            names=["s_nationkey", "bal_cents"],
+        )
+        g = t.group_by(["s_nationkey"]).aggregate(
+            [("bal_cents", "min"), ("bal_cents", "max"), ("bal_cents", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(
+            ["s_nationkey", "min_bal", "max_bal", "sum_bal", "n_suppliers"]
+        )
+
+    part = s.map_batches(partials, batch_format="pyarrow")
+    return part.groupby("s_nationkey").aggregate(
+        Min("min_bal", alias_name="min_bal"),
+        Max("max_bal", alias_name="max_bal"),
+        Sum("sum_bal", alias_name="sum_bal"),
+        Sum("n_suppliers", alias_name="n_suppliers"),
+    )
+
+
+def orders_by_month(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling month window over o_orderdate with status breakdown."""
+    o = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_orderstatus", "o_totalprice"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate")
+        if pa.types.is_date(d.type) or pa.types.is_timestamp(d.type):
+            month = pc.floor_temporal(pc.cast(d, pa.timestamp("us")), unit="month")
+        else:  # string dates: YYYY-MM-DD -> first of month
+            month = pc.cast(
+                pc.strptime(pc.binary_join_element_wise(pc.utf8_slice_codeunits(d, 0, 7), "-01", ""),
+                            format="%Y-%m-%d", unit="us"),
+                pa.timestamp("us"),
+            )
+        t = pa.Table.from_arrays(
+            [month, batch.column("o_orderstatus"), _cents(batch.column("o_totalprice"))],
+            names=["month", "o_orderstatus", "cents"],
+        )
+        g = t.group_by(["month", "o_orderstatus"]).aggregate(
+            [("cents", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["month", "o_orderstatus", "sum_cents", "n_orders"])
+
+    part = o.map_batches(partials, batch_format="pyarrow")
+    return part.groupby(["month", "o_orderstatus"]).aggregate(
+        Sum("sum_cents", alias_name="sum_cents"), Sum("n_orders", alias_name="n_orders")
+    )
+
+
+def region_nation_counts(sf_dir: str) -> ray.data.Dataset:
+    """3-way dimension join region ⋈ nation ⋈ customer, all broadcast."""
+    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    region = ray.data.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    ref = ray.put((n2r, r2name))
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        n2r, r2name = ray.get(ref)
+        names = [r2name.get(n2r.get(k), "UNKNOWN") for k in batch.column("c_nationkey").to_pylist()]
+        t = pa.Table.from_arrays([pa.array(names, pa.string())], names=["region"])
+        g = t.group_by(["region"]).aggregate([([], "count_all")])
+        return g.rename_columns(["region", "n_customers"])
+
+    part = cust.map_batches(partials, batch_format="pyarrow")
+    return part.groupby("region").aggregate(Sum("n_customers", alias_name="n_customers"))
+
+
+def events_top_users(sf_dir: str, k: int = 20) -> ray.data.Dataset:
+    """Top-k users by event count (partial count -> groupby -> sort/limit)."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["user_id"]).aggregate([([], "count_all")])
+        return g.rename_columns(["user_id", "n_events"])
+
+    part = ev.map_batches(partials, batch_format="pyarrow")
+    agg = part.groupby("user_id").aggregate(Sum("n_events", alias_name="n_events"))
+    return agg.sort(["n_events", "user_id"], descending=[True, False]).limit(k)

@@ -22,6 +22,10 @@ SQL_QUERIES = [
     "lineitem_pricing",
     "orders_by_nation",
     "part_topk",
+    "supplier_stats",
+    "orders_by_month",
+    "region_nation_counts",
+    "events_top_users",
 ]
 
 
