@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_count": d.doc_token_count,
         "doc_quality": d.doc_quality,
         "doc_langid": d.doc_langid,
+        "doc_charlm_ppl": d.doc_charlm_ppl,
         "doc_token_freq": d.doc_token_freq,
         # --- similarity search
         "emb_ann_topk": d.emb_ann_topk,

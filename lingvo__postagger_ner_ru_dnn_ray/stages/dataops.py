@@ -747,3 +747,60 @@ def events_top_users(sf_dir: str, k: int = 20) -> ray.data.Dataset:
     part = ev.map_batches(partials, batch_format="pyarrow")
     agg = part.groupby("user_id").aggregate(Sum("n_events", alias_name="n_events"))
     return agg.sort(["n_events", "user_id"], descending=[True, False]).limit(k)
+
+
+# --------------------------------------------------------------------------- #
+# char-n-gram LM perplexity — CCNet/KenLM-style quality filtering
+
+_LM_TRAIN_CAP = 100  # doc_id < cap trains the LM (fixed, broadcastable)
+_LM_N = 3
+
+
+def _charlm_counts(texts) -> tuple[dict, dict]:
+    ctx: dict[str, int] = {}
+    full: dict[str, int] = {}
+    for t in texts:
+        s = f"^^{t}$"
+        for i in range(len(s) - _LM_N + 1):
+            g = s[i : i + _LM_N]
+            full[g] = full.get(g, 0) + 1
+            c = g[:-1]
+            ctx[c] = ctx.get(c, 0) + 1
+    return ctx, full
+
+
+def doc_charlm_ppl(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc char-trigram LM score: mean -log2 P(c | prev 2 chars) with
+    add-1 smoothing, reported in integer milli-bits (deterministic). The
+    LM trains once on docs with doc_id < 100 and broadcasts via ray.put —
+    at corpus scale the trainer is itself a distributed partial-count
+    groupby (doc_token_freq pattern); here the training slice is bounded.
+    High scores flag out-of-distribution (low-quality) documents."""
+    import math
+
+    train = (
+        _docs(sf_dir, ["doc_id", "text"]).filter(expr=f"doc_id < {_LM_TRAIN_CAP}").to_pandas()
+    )
+    ctx, full = _charlm_counts(train["text"].tolist())
+    vocab_size = len({g[-1] for g in full}) + 1
+    ref = ray.put((ctx, full, vocab_size))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ctx, full, V = ray.get(ref)
+        out = []
+        for t in batch.column("text").to_pylist():
+            s = f"^^{t}$"
+            total = 0.0
+            n = 0
+            for i in range(len(s) - _LM_N + 1):
+                g = s[i : i + _LM_N]
+                p = (full.get(g, 0) + 1) / (ctx.get(g[:-1], 0) + V)
+                total += -math.log2(p)
+                n += 1
+            out.append(int(round(1000 * total / max(1, n))))
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), pa.array(out, pa.int64())],
+            names=["doc_id", "ppl_millibits"],
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(score, batch_format="pyarrow")

@@ -100,3 +100,19 @@ def test_ivf_recall_vs_bruteforce(ray_session):
     assert approx.sort_values(["query_id", "rank"]).reset_index(drop=True).equals(
         again.sort_values(["query_id", "rank"]).reset_index(drop=True)
     )
+
+
+def test_charlm_ppl(ray_session):
+    from lingvo__postagger_ner_ru_dnn_ray.stages.dataops import doc_charlm_ppl
+
+    df = doc_charlm_ppl(SF).to_pandas()
+    assert len(df) == 500
+    assert df["ppl_millibits"].between(0, 64_000).all()
+    # in-domain (training) docs should score no worse than the corpus mean
+    train_mean = df[df["doc_id"] < 100]["ppl_millibits"].mean()
+    assert train_mean <= df["ppl_millibits"].mean() + 100
+    # deterministic
+    again = doc_charlm_ppl(SF).to_pandas()
+    assert df.sort_values("doc_id").reset_index(drop=True).equals(
+        again.sort_values("doc_id").reset_index(drop=True)
+    )
