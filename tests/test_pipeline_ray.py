@@ -160,3 +160,22 @@ def test_long_turn_chunking_e2e(ray_session):
     keys = ["conv_id", "turn_idx", "sent_idx", "triple_idx"]
     assert len(got) == len(want) > 50
     assert _sorted_df(got, keys).equals(_sorted_df(want, keys))
+
+
+def test_driver_entry_contract(ray_session):
+    """The driver smoke-check: entry() runs under an already-initialised
+    Ray session and yields rows with a stable schema."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import __ray_entry__ as e
+
+    ds = e.entry()
+    assert ds.count() > 0
+    cols = set(ds.schema().names)
+    assert {"conv_id", "turn_idx", "subj", "pred", "obj", "subj_id", "obj_id"} <= cols
+    qs = e.queries()
+    sqls = e.oracle_sql()
+    assert set(sqls) <= set(qs)  # every oracle has a query
+    assert len(qs) >= 25
