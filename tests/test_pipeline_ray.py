@@ -179,3 +179,32 @@ def test_driver_entry_contract(ray_session):
     sqls = e.oracle_sql()
     assert set(sqls) <= set(qs)  # every oracle has a query
     assert len(qs) >= 25
+
+
+def test_extreme_conv_skew(ray_session, tmp_path):
+    """One conversation owns ~95% of all turns (the 10^8-turn-conv story):
+    the job must still partition, aggregate and match the oracle exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    from lingvo__postagger_ner_ru_dnn_ray.pipelines.oracle import oracle_tables
+    from lingvo__postagger_ner_ru_dnn_ray.sources.transcripts import synth_transcripts_table
+
+    base = synth_transcripts_table(400, seed=11).to_pandas()
+    hot = base["conv_id"] != ""  # rename 95% of rows into one hot conversation
+    idx = base.index[: int(len(base) * 0.95)]
+    base.loc[idx, "conv_id"] = "conv-hot"
+    base.loc[idx, "turn_idx"] = np.arange(len(idx), dtype="int32")
+    tbl = pa.Table.from_pandas(base, preserve_index=False)
+    tbl = tbl.set_column(1, "turn_idx", tbl.column("turn_idx").cast(pa.int32()))
+
+    src = tmp_path / "skew"
+    src.mkdir()
+    pq_mod.write_table(tbl, src / "part-0.parquet")
+
+    out = tmp_path / "kg_skew"
+    run_kg_job(str(src), str(out), num_partitions=4, tag_concurrency=2)
+    got = pq_mod.read_table(out / "triples").drop(["part"])
+    want = oracle_tables(tbl)["triples"]
+    assert _sorted_df(got, TRIPLE_KEYS).equals(_sorted_df(want, TRIPLE_KEYS))
