@@ -218,3 +218,35 @@ def test_console_variant_one_capital_with_dot():
     words = tokenize_text_console("Против С.Козлова")
     it = {w.value: INPUT_TYPE_NAMES[w.input_type] for w in words}
     assert it["С."] == "OneCapitalWithDot"
+
+
+# --------------------------- additional parity vectors ----------------------
+def test_soft_hyphen_kept_degree_currency_split():
+    assert toks("слово\xadперенос") == ["слово\xadперенос"]  # BLD soft hyphen
+    assert toks("температура 25° мороза") == ["температура", "[%NUM%]", "°", "мороза"]
+    assert toks("цена 100$ или 50€") == ["цена", "[%NUM%]", "$", "или", "[%NUM%]", "€"]
+    assert toks("снег№5 и 10%") == ["снег", "№", "[%NUM%]", "и", "[%NUM%]", "%"]
+    assert toks("a/b тест") == ["a", "/", "b", "тест"]
+    assert toks("тел./факс 123") == ["тел", ".", "/", "факс", "[%NUM%]"]
+
+
+def test_email_with_at_pattern():
+    from lingvo__postagger_ner_ru_dnn_ray.textkit.urls import EMAIL
+
+    u = allocate_urls("напиши на info(at)mail.ru быстро")
+    assert len(u) == 1 and u[0].type == EMAIL
+    assert toks("напиши на info(at)mail.ru быстро") == [
+        "напиши", "на", "info(at)mail.ru", "быстро",
+    ]
+
+
+def test_num_collapse_length_fixup_quirk():
+    """Consecutive-number collapse: the placeholder's span extends through
+    the LAST number only when a non-number word follows (Tokenizer.cs:
+    948-962); at sentence end it keeps the first number's span."""
+    from lingvo__postagger_ner_ru_dnn_ray.textkit.tokenizer import tokenize_text as tt
+
+    w_end = tt("выпущено 100 200")[0][-1]
+    assert (w_end.value, w_end.start, w_end.length) == ("[%NUM%]", 9, 3)
+    w_mid = [x for x in tt("выпущено 100 200 штук")[0] if x.value == "[%NUM%]"][0]
+    assert (w_mid.start, w_mid.length) == (9, 7)
