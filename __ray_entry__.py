@@ -128,9 +128,23 @@ def entry() -> Any:
     )
     from lingvo__postagger_ner_ru_dnn_ray.sources.transcripts import transcripts_for_sf
 
+    import ray
+
     path = transcripts_for_sf("/root/testdata/sf0.001")
     ds = read_transcripts(path).sort(["conv_id", "turn_idx"])
-    return linked_triples(tagged_sentences(ds, tag_concurrency=2))
+    # size the tagger pool from the cluster the driver gave us (leave a
+    # few CPUs for read/sort/link tasks) instead of a hardcoded 2
+    pool = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+    return linked_triples(tagged_sentences(ds, tag_concurrency=pool))
+
+
+def _seqlabel_f1(sf_dir: str):
+    """Per-class validation counters (Validator.cs:36-67 analogue) over
+    the tagged sentences, with deterministically perturbed ref labels —
+    see pipelines/validation.py."""
+    from lingvo__postagger_ner_ru_dnn_ray.pipelines.validation import seqlabel_f1_counts
+
+    return seqlabel_f1_counts(_kg_table(sf_dir, "sentences"))
 
 
 def _kg_pos_label_counts(sf_dir: str):
@@ -157,6 +171,19 @@ def _media_features(sf_dir: str):
     return media_features(sf_dir)
 
 
+def _ivf_dir(sf_dir: str) -> str:
+    """Deterministic materialization path for the IVF result at this scale
+    (shared by the emb_ann_ivf_recall query and its SQL oracle)."""
+    tag = Path(sf_dir).name
+    return f"/tmp/graft_data/ivf_{tag}_{_code_fingerprint()}"
+
+
+def _emb_ann_ivf_recall(sf_dir: str):
+    from lingvo__postagger_ner_ru_dnn_ray.stages.dataops import emb_ann_ivf_recall
+
+    return emb_ann_ivf_recall(sf_dir, ivf_path=_ivf_dir(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from lingvo__postagger_ner_ru_dnn_ray.stages import dataops as d
 
@@ -167,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edges": lambda sf: _kg_table(sf, "edges"),
         "kg_nodes": lambda sf: _kg_table(sf, "nodes"),
         "kg_pos_label_counts": _kg_pos_label_counts,
+        "seqlabel_f1": _seqlabel_f1,
         # --- dedup family
         "doc_dedup_exact": d.doc_dedup_exact,
         "doc_jaccard_pairs": d.doc_jaccard_pairs,
@@ -179,9 +207,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": d.doc_langid,
         "doc_charlm_ppl": d.doc_charlm_ppl,
         "doc_token_freq": d.doc_token_freq,
+        "doc_len_histogram": d.doc_len_histogram,
         # --- similarity search
         "emb_ann_topk": d.emb_ann_topk,
         "emb_ann_ivf": d.emb_ann_ivf,
+        "emb_ann_ivf_recall": _emb_ann_ivf_recall,
         "emb_neardup_pairs": d.emb_neardup_pairs,
         # --- multimodal plumbing (stub codec; rows-only check)
         "media_features": _media_features,
@@ -214,8 +244,21 @@ def _kg_sql(orc: str) -> dict[str, str]:
 
 
 def _dataops_sql() -> dict[str, str]:
-    """Pure-SQL semantic oracles (no side effects; unit-testable at any sf)."""
+    """Pure-SQL semantic oracles (no side effects; unit-testable at any sf).
+    The md5-hash-seeded operators (minhash/simhash/fingerprint/charlm) are
+    reproduced EXACTLY in SQL via DuckDB's md5_number_upper — see the
+    *_ORACLE_SQL constants next to each operator in stages/dataops.py."""
+    from lingvo__postagger_ner_ru_dnn_ray.stages import dataops as d
+
     return {
+        "doc_minhash_pairs": d.minhash_oracle_sql(),
+        "doc_simhash": d.SIMHASH_ORACLE_SQL,
+        "doc_fingerprint": d.FINGERPRINT_ORACLE_SQL,
+        "doc_charlm_ppl": d.CHARLM_ORACLE_SQL,
+        "doc_len_histogram": (
+            "SELECT length(text) // 100 AS len_bucket, count(*)::BIGINT AS n_docs "
+            "FROM documents GROUP BY length(text) // 100"
+        ),
         "doc_dedup_exact": (
             "SELECT min(doc_id) AS doc_id, count(*) AS n_dups "
             "FROM documents GROUP BY md5(text)"
@@ -326,14 +369,30 @@ def _dataops_sql() -> dict[str, str]:
             "SELECT user_id, count(*)::BIGINT AS n_events FROM events "
             "GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 20"
         ),
-        # doc_minhash_pairs / doc_simhash / doc_fingerprint: hash-seeded
-        # operators with no SQL equivalent -> rows-only check (by design)
+        # media_features: stub codec -> rows-only check (by design)
     }
 
 
 def oracle_sql() -> dict[str, str]:
     # the kg_* oracles read the single-process reference run at sf0.01 (the
-    # driver's correctness scale); materialized here so the SQL can read it
+    # driver's correctness scale); materialized here so the SQL can read it.
+    # emb_ann_ivf_recall's oracle reads the materialized IVF result and
+    # recomputes the exact top-k independently in SQL.
+    from lingvo__postagger_ner_ru_dnn_ray.stages.dataops import (
+        ann_ivf_recall_oracle_sql,
+        emb_ann_ivf_recall,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    from lingvo__postagger_ner_ru_dnn_ray.pipelines.validation import (
+        seqlabel_f1_oracle_sql,
+    )
+
     sql = _dataops_sql()
-    sql.update(_kg_sql(_ensure_kg_oracle("/root/testdata/sf0.01")))
+    orc = _ensure_kg_oracle(sf)
+    sql.update(_kg_sql(orc))
+    sql["seqlabel_f1"] = seqlabel_f1_oracle_sql(f"{orc}/sentences.parquet")
+    ivf_path = _ivf_dir(sf)
+    emb_ann_ivf_recall(sf, ivf_path=ivf_path).count()  # materialize once
+    sql["emb_ann_ivf_recall"] = ann_ivf_recall_oracle_sql(ivf_path)
     return sql

@@ -14,7 +14,6 @@ with ``ray.put``.
 from __future__ import annotations
 
 import hashlib
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -105,22 +104,34 @@ def doc_quality(sf_dir: str) -> ray.data.Dataset:
 
 
 def doc_langid(sf_dir: str) -> ray.data.Dataset:
-    """Script-ratio language heuristic: cyrillic vs latin letter counts."""
-    import re
-
-    cyr = re.compile(r"[а-яА-ЯёЁ]")
-    lat = re.compile(r"[a-zA-Z]")
+    """Script-ratio language heuristic: cyrillic vs latin letter counts —
+    two Arrow count_substring_regex kernels, no Python per-row loop."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        preds = []
-        for t in batch.column("text").to_pylist():
-            preds.append("ru" if len(cyr.findall(t)) > len(lat.findall(t)) else "en")
+        text = batch.column("text")
+        cyr = pc.count_substring_regex(text, "[а-яА-ЯёЁ]")
+        lat = pc.count_substring_regex(text, "[a-zA-Z]")
+        preds = pc.if_else(pc.greater(cyr, lat), "ru", "en")
         return pa.Table.from_arrays(
-            [batch.column("doc_id"), pa.array(preds, pa.string())],
-            names=["doc_id", "lang_pred"],
+            [batch.column("doc_id"), preds], names=["doc_id", "lang_pred"]
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+def doc_len_histogram(sf_dir: str, bucket_chars: int = 100) -> ray.data.Dataset:
+    """Document-length histogram (len//100 buckets) — the Corpus.cs:210-316
+    token-length-histogram analogue as a partial-count → groupby-sum."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        b = pc.divide(pc.cast(pc.utf8_length(batch.column("text")), pa.int64()),
+                      bucket_chars)
+        t = pa.Table.from_arrays([b], names=["len_bucket"])
+        g = t.group_by(["len_bucket"]).aggregate([([], "count_all")])
+        return g.rename_columns(["len_bucket", "n_docs"])
+
+    part = _docs(sf_dir, ["text"]).map_batches(partials, batch_format="pyarrow")
+    return part.groupby("len_bucket").aggregate(Sum("n_docs", alias_name="n_docs"))
 
 
 # --------------------------------------------------------------------------- #
@@ -196,49 +207,71 @@ def doc_jaccard_pairs(sf_dir: str, threshold_pct: int = 1) -> ray.data.Dataset:
 
 # --------------------------------------------------------------------------- #
 # MinHash + LSH near-dup — the at-scale path (shingle→minhash→band→groupby)
+#
+# All hashing is md5-derived and the modulus is the Mersenne prime 2^31-1,
+# so a*h+b stays below 2^62 and numpy-uint64 / DuckDB-BIGINT arithmetic
+# agree EXACTLY — the driver oracle recomputes the identical pair set in
+# pure SQL (md5_number_upper == little-endian first 8 bytes of md5).
 
 _MH_PERMS = 64
 _MH_BANDS = 32  # 32 bands × 2 rows: P(candidate | j=0.5) ≈ 0.9997
+_MH_P = np.uint64((1 << 31) - 1)  # 2147483647
+_MH_SALT_BITS = 12  # LSH groups on (band, bucket & 0xFFF): ≤ 32·4096 groups
+
+_MH_RNG = np.random.RandomState(1234)
+_MH_A = _MH_RNG.randint(1, int(_MH_P), size=_MH_PERMS).astype(np.uint64)
+_MH_B = _MH_RNG.randint(0, int(_MH_P), size=_MH_PERMS).astype(np.uint64)
 
 
-def _minhash_sig(sh: frozenset, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+def _md5_u64(s: str) -> int:
+    """First 8 bytes of md5, little-endian == DuckDB md5_number_upper()."""
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+
+
+def _minhash_sig(sh: frozenset) -> np.ndarray:
     if not sh:
         return np.zeros(_MH_PERMS, dtype=np.uint64)
-    hv = np.array([zlib.crc32(s.encode()) for s in sh], dtype=np.uint64)
-    # universal hashing: (a*x + b) mod p
-    p = np.uint64((1 << 61) - 1)
-    sig = ((a[:, None] * hv[None, :] + b[:, None]) % p).min(axis=1)
-    return sig
+    hv = np.array([_md5_u64(s) for s in sh], dtype=np.uint64) % _MH_P
+    # universal hashing (a*x + b) mod p — products < 2^62, no uint64 wrap
+    return ((_MH_A[:, None] * hv[None, :] + _MH_B[:, None]) % _MH_P).min(axis=1)
 
 
 def doc_minhash_pairs(sf_dir: str, verify_threshold_pct: int = 1) -> ray.data.Dataset:
-    """MinHash(64) + LSH(32×2) candidate generation as a groupby on
-    (band, bucket), then exact-Jaccard verification of candidates.
+    """MinHash(64) + LSH(32×2) near-duplicate pairs, scale-safe end to end:
+
+    1. to_bands: per doc, 32 rows (doc_id, band, bucket) where bucket is the
+       EXACT encoding (s0<<31 | s1) of the band's two 31-bit signature rows
+       (no hash collisions → candidate set is exactly sig-equality).
+    2. candidates: groupby (band, bucket & 0xFFF) — bounded groups (the
+       salt caps group size at ~n_docs/4096 per band) with a vectorized
+       duplicated-bucket scan inside each group; then a (doc_a, doc_b)
+       groupby dedups across bands.
+    3. verify: candidates are JOINED back to the document texts with two
+       hash-partitioned Dataset.join calls (co-partitioned; nothing is
+       materialized on the driver), then exact Jaccard filters the pairs.
+
     Emits verified pairs (doc_a, doc_b, jaccard_pct)."""
-    rng = np.random.RandomState(1234)
-    A = rng.randint(1, (1 << 61) - 1, size=_MH_PERMS).astype(np.uint64)
-    B = rng.randint(0, (1 << 61) - 1, size=_MH_PERMS).astype(np.uint64)
     rows_per_band = _MH_PERMS // _MH_BANDS
+    assert rows_per_band == 2  # bucket packing below assumes 2×31-bit rows
+    salt_mask = (1 << _MH_SALT_BITS) - 1
 
     def to_bands(batch: pa.Table) -> pa.Table:
-        ids, bands, buckets = [], [], []
-        for did, text in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
-            sig = _minhash_sig(_shingles(text), A, B)
-            for band in range(_MH_BANDS):
-                chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
-                ids.append(did)
-                bands.append(band)
-                buckets.append(zlib.crc32(chunk.tobytes()))
+        n = batch.num_rows
+        ids = np.repeat(np.asarray(batch.column("doc_id"), dtype=np.int64), _MH_BANDS)
+        bands = np.tile(np.arange(_MH_BANDS, dtype=np.int32), n)
+        buckets = np.empty(n * _MH_BANDS, dtype=np.int64)
+        for r, text in enumerate(batch.column("text").to_pylist()):
+            sig = _minhash_sig(_shingles(text))
+            packed = (sig[0::2].astype(np.int64) << 31) | sig[1::2].astype(np.int64)
+            buckets[r * _MH_BANDS : (r + 1) * _MH_BANDS] = packed
         return pa.Table.from_arrays(
-            [pa.array(ids, pa.int64()), pa.array(bands, pa.int32()),
-             pa.array(buckets, pa.int64())],
-            names=["doc_id", "band", "bucket"],
+            [pa.array(ids), pa.array(bands), pa.array(buckets),
+             pa.array(buckets & salt_mask)],
+            names=["doc_id", "band", "bucket", "salt"],
         )
 
-    def band_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        # one group PER BAND (32 total, not one per bucket): vectorized
-        # collision detection inside the group avoids per-bucket Python
-        # call overhead at scale
+    def salted_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        # one group per (band, salt): vectorized scan for duplicated buckets
         g = group[group.duplicated("bucket", keep=False)]
         if g.empty:
             return pd.DataFrame(
@@ -246,91 +279,235 @@ def doc_minhash_pairs(sf_dir: str, verify_threshold_pct: int = 1) -> ray.data.Da
             )
         a_out, b_out = [], []
         for _, ids in g.groupby("bucket")["doc_id"]:
-            ids = sorted(set(ids.tolist()))
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
+            uniq = sorted(set(ids.tolist()))
+            for i in range(len(uniq)):
+                for j in range(i + 1, len(uniq)):
+                    a_out.append(uniq[i])
+                    b_out.append(uniq[j])
         return pd.DataFrame(
             {"doc_a": pd.Series(a_out, dtype="int64"), "doc_b": pd.Series(b_out, dtype="int64")}
         )
 
     docs = _docs(sf_dir, ["doc_id", "text"])
     bands = docs.map_batches(to_bands, batch_format="pyarrow")
-    cand = bands.groupby(["band"]).map_groups(band_pairs, batch_format="pandas")
+    cand = bands.groupby(["band", "salt"]).map_groups(salted_pairs, batch_format="pandas")
     # dedup candidate pairs across bands
     cand = cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
 
-    # verify with exact jaccard: broadcast shingle sets of candidate docs only
-    # (candidates ≪ corpus); at true scale this would be a co-partitioned join
-    docs_pd = docs.to_pandas()
-    sets_ref = ray.put({int(r.doc_id): _shingles(r.text) for r in docs_pd.itertuples()})
-
-    def verify(batch: pa.Table) -> pa.Table:
-        sets = ray.get(sets_ref)
-        a_out, b_out, j_out = [], [], []
-        for a, b in zip(batch.column("doc_a").to_pylist(), batch.column("doc_b").to_pylist()):
-            sa, sb = sets[a], sets[b]
-            inter = len(sa & sb)
-            if inter == 0:
-                continue
-            jac = (100 * inter) // (len(sa) + len(sb) - inter)
-            if jac >= verify_threshold_pct:
-                a_out.append(a)
-                b_out.append(b)
-                j_out.append(jac)
+    # verify with exact jaccard via two reduce-side co-partitioned merges:
+    # candidates and doc payloads are unioned and hash-partitioned on the
+    # key (groupby), each bounded group holding one doc row + its
+    # candidate rows — the two semi-joins of a shuffle join, with nothing
+    # ever materialized on the driver. (Implemented as groupby.map_groups
+    # rather than Dataset.join: Ray 2.49's join aggregator synthesizes
+    # schema-less tables for empty hash partitions and Acero then rejects
+    # the key field; groupby has no such failure mode.)
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
         return pa.Table.from_arrays(
-            [pa.array(a_out, pa.int64()), pa.array(b_out, pa.int64()),
-             pa.array(j_out, pa.int64())],
-            names=["doc_a", "doc_b", "jaccard_pct"],
+            [batch.column("doc_id"), pa.array([0] * n, pa.int8()),
+             pa.nulls(n, pa.int64()), batch.column("text")],
+            names=["k", "kind", "other", "payload"],
         )
 
-    return cand.map_batches(verify, batch_format="pyarrow")
+    def tag_cand(batch: pa.Table) -> pa.Table:
+        # key on doc_a for the first merge
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int8()),
+                 pa.array([], pa.int64()), pa.array([], pa.string())],
+                names=["k", "kind", "other", "payload"],
+            )
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [batch.column("doc_a"), pa.array([1] * n, pa.int8()),
+             batch.column("doc_b"), pa.nulls(n, pa.string())],
+            names=["k", "kind", "other", "payload"],
+        )
+
+    def attach_text_a(g: pd.DataFrame) -> pd.DataFrame:
+        doc = g.loc[g["kind"] == 0, "payload"]
+        c = g[g["kind"] == 1]
+        if doc.empty or c.empty:
+            return pd.DataFrame({
+                "k": pd.Series([], dtype="int64"), "kind": pd.Series([], dtype="int8"),
+                "other": pd.Series([], dtype="int64"),
+                "payload": pd.Series([], dtype="object"),
+            })
+        # re-key on doc_b for the second merge; carry (doc_a, text_a).
+        # .to_numpy() strips the group's index — mixing indexed Series
+        # with fresh ones would align-and-drop rows
+        return pd.DataFrame({
+            "k": pd.Series(c["other"].to_numpy(), dtype="int64"),
+            "kind": pd.Series([1] * len(c), dtype="int8"),
+            "other": pd.Series(c["k"].to_numpy(), dtype="int64"),
+            "payload": pd.Series([doc.iloc[0]] * len(c), dtype="object"),
+        })
+
+    def verify_group(g: pd.DataFrame) -> pd.DataFrame:
+        doc = g.loc[g["kind"] == 0, "payload"]
+        c = g[g["kind"] == 1]
+        a_out, b_out, j_out = [], [], []
+        if not doc.empty and not c.empty:
+            sb = _shingles(doc.iloc[0])
+            for b_key, a_id, text_a in zip(c["k"], c["other"], c["payload"]):
+                sa = _shingles(text_a)
+                inter = len(sa & sb)
+                if inter == 0:
+                    continue
+                jac = (100 * inter) // (len(sa) + len(sb) - inter)
+                if jac >= verify_threshold_pct:
+                    a_out.append(int(a_id))
+                    b_out.append(int(b_key))
+                    j_out.append(jac)
+        return pd.DataFrame({
+            "doc_a": pd.Series(a_out, dtype="int64"),
+            "doc_b": pd.Series(b_out, dtype="int64"),
+            "jaccard_pct": pd.Series(j_out, dtype="int64"),
+        })
+
+    union_schema = pa.schema(
+        [("k", pa.int64()), ("kind", pa.int8()), ("other", pa.int64()),
+         ("payload", pa.string())]
+    )
+
+    def to_arrow(batch: pa.Table) -> pa.Table:
+        # unioned datasets must share one block type; re-stamp the pandas
+        # map_groups output as schema'd Arrow
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return union_schema.empty_table()
+        return batch.select(union_schema.names).cast(union_schema)
+
+    docs_tagged = docs.map_batches(tag_docs, batch_format="pyarrow")
+    cand_tagged = cand.map_batches(tag_cand, batch_format="pyarrow")
+    with_a = (
+        docs_tagged.union(cand_tagged)
+        .groupby("k")
+        .map_groups(attach_text_a, batch_format="pandas")
+        .map_batches(to_arrow, batch_format="pyarrow")
+    )
+    return docs_tagged.union(with_a).groupby("k").map_groups(
+        verify_group, batch_format="pandas"
+    )
+
+
+def minhash_oracle_sql(verify_threshold_pct: int = 1) -> str:
+    """DuckDB SQL that reproduces doc_minhash_pairs EXACTLY (same md5-based
+    shingle hashes, same (a,b) permutation constants, same band equality,
+    same integer Jaccard verification)."""
+    perm_vals = ", ".join(
+        f"({i},{int(_MH_A[i])},{int(_MH_B[i])})" for i in range(_MH_PERMS)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), s AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(1, len(ws)-2)),
+    i -> array_to_string(list_slice(ws, i, i+2), ' '))) AS sh
+  FROM d
+), hv AS (
+  SELECT doc_id, (md5_number_upper(unnest(sh)) % 2147483647)::BIGINT AS h FROM s
+), perms(i, a, b) AS (VALUES {perm_vals}),
+sig AS (
+  SELECT doc_id, i, min((a * h + b) % 2147483647) AS v FROM hv, perms GROUP BY doc_id, i
+), band AS (
+  SELECT doc_id, i // 2 AS band,
+         (min(CASE WHEN i % 2 = 0 THEN v END) << 31)
+         | min(CASE WHEN i % 2 = 1 THEN v END) AS bucket
+  FROM sig GROUP BY doc_id, i // 2
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket
+                          AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+  100 * len(list_intersect(sa.sh, sb.sh)) //
+  (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard_pct
+FROM cand c JOIN s sa ON c.doc_a = sa.doc_id JOIN s sb ON c.doc_b = sb.doc_id
+WHERE len(list_intersect(sa.sh, sb.sh)) > 0
+  AND 100 * len(list_intersect(sa.sh, sb.sh)) //
+      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+      >= {verify_threshold_pct}
+"""
 
 
 # --------------------------------------------------------------------------- #
 # SimHash fingerprints
 
+_WORD_HASH_MEMO: dict[str, int] = {}  # per-worker Zipfian word-hash cache
+
+
+def _word_hash(w: str) -> int:
+    h = _WORD_HASH_MEMO.get(w)
+    if h is None:
+        if len(_WORD_HASH_MEMO) > 1_000_000:  # bound worker heap
+            _WORD_HASH_MEMO.clear()
+        h = _WORD_HASH_MEMO[w] = _md5_u64(w)
+    return h
+
+
 def doc_simhash(sf_dir: str) -> ray.data.Dataset:
-    """64-bit SimHash over whitespace tokens (deterministic crc-based)."""
+    """64-bit SimHash over whitespace tokens. Word hashes are md5-derived
+    (memoized per worker — token frequency is Zipfian) and the bit-vote is
+    one vectorized numpy reduction per document; the driver oracle
+    recomputes the identical value in SQL via md5_number_upper."""
 
     def fn(batch: pa.Table) -> pa.Table:
         shifts = np.arange(64, dtype=np.uint64)
-        out = []
-        for text in batch.column("text").to_pylist():
-            acc = np.zeros(64, dtype=np.int64)
-            for w in text.split(" "):
-                h = np.uint64((zlib.crc32(w.encode()) << 32) | zlib.crc32(w[::-1].encode()))
-                bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
-                acc += np.where(bits == 1, 1, -1)
-            val = 0
-            for i in range(64):
-                if acc[i] > 0:
-                    val |= 1 << i
-            out.append(val - (1 << 63))  # store as signed int64
+        weights = (np.uint64(1) << shifts).astype(np.uint64)
+        out = np.empty(batch.num_rows, dtype=np.int64)
+        for r, text in enumerate(batch.column("text").to_pylist()):
+            hs = np.array([_word_hash(w) for w in text.split(" ")], dtype=np.uint64)
+            bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)  # [W, 64]
+            acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            val = int(weights[acc > 0].sum(dtype=np.uint64))
+            out[r] = val - (1 << 63)
         return pa.Table.from_arrays(
-            [batch.column("doc_id"), pa.array(out, pa.int64())],
-            names=["doc_id", "simhash"],
+            [batch.column("doc_id"), pa.array(out)], names=["doc_id", "simhash"]
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
 
 
+SIMHASH_ORACLE_SQL = """
+WITH w AS (
+  SELECT doc_id, md5_number_upper(unnest(string_split(text, ' '))) AS h FROM documents
+), b AS (
+  SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM w, generate_series(0, 63) g(i) GROUP BY doc_id, i
+)
+SELECT doc_id,
+  (sum(CASE WHEN acc > 0 THEN (1::UBIGINT << i)::HUGEINT ELSE 0 END)
+   - 9223372036854775808::HUGEINT)::BIGINT AS simhash
+FROM b GROUP BY doc_id
+"""
+
+
 def doc_fingerprint(sf_dir: str, window: int = 4) -> ray.data.Dataset:
     """Winnowing document fingerprint: min rolling-hash per window; emits
-    (doc_id, n_fingerprints, min_fp, max_fp) — deterministic ints."""
+    (doc_id, n_fingerprints, min_fp, max_fp). Shingle hashes are md5-based,
+    shifted to signed int64 BEFORE the min so Python and the SQL oracle
+    compare in the same (signed) domain."""
+    off = 1 << 63
 
     def fn(batch: pa.Table) -> pa.Table:
         n_out, mn_out, mx_out = [], [], []
         for text in batch.column("text").to_pylist():
-            hs = [zlib.crc32(" ".join(text.split(" ")[i : i + 3]).encode())
-                  for i in range(max(1, len(text.split(" ")) - 2))]
-            fps = set()
-            for i in range(max(1, len(hs) - window + 1)):
-                fps.add(min(hs[i : i + window]))
+            ws = text.split(" ")
+            hs = np.array(
+                [_md5_u64(" ".join(ws[i : i + 3])) - off
+                 for i in range(max(1, len(ws) - 2))],
+                dtype=np.int64,
+            )
+            if len(hs) <= window:
+                fps = np.array([hs.min()])
+            else:
+                mins = np.lib.stride_tricks.sliding_window_view(hs, window).min(axis=1)
+                fps = np.unique(mins)
             n_out.append(len(fps))
-            mn_out.append(min(fps))
-            mx_out.append(max(fps))
+            mn_out.append(int(fps.min()))
+            mx_out.append(int(fps.max()))
         return pa.Table.from_arrays(
             [batch.column("doc_id"), pa.array(n_out, pa.int64()),
              pa.array(mn_out, pa.int64()), pa.array(mx_out, pa.int64())],
@@ -338,6 +515,31 @@ def doc_fingerprint(sf_dir: str, window: int = 4) -> ray.data.Dataset:
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+FINGERPRINT_ORACLE_SQL = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), hl AS (
+  SELECT doc_id, list_transform(generate_series(1, greatest(1, len(ws)-2)),
+    i -> (md5_number_upper(array_to_string(list_slice(ws, i, i+2), ' '))::HUGEINT
+          - 9223372036854775808::HUGEINT)::BIGINT) AS hs
+  FROM d
+), s AS (
+  SELECT doc_id, unnest(hs) AS h, unnest(generate_series(1, len(hs))) AS i,
+         len(hs) AS nh
+  FROM hl
+), wmin AS (
+  SELECT doc_id, i, nh,
+    min(h) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM s
+), fps AS (
+  SELECT DISTINCT doc_id, fp FROM wmin WHERE i <= greatest(1, nh - 3)
+)
+SELECT doc_id, count(*)::BIGINT AS n_fp, min(fp) AS min_fp, max(fp) AS max_fp
+FROM fps GROUP BY doc_id
+"""
 
 
 # --------------------------------------------------------------------------- #
@@ -468,24 +670,65 @@ def events_window(sf_dir: str) -> ray.data.Dataset:
 _SESSION_GAP_US = 30 * 60 * 1_000_000
 
 
+_SESSION_BUCKET_US = 24 * 3600 * 1_000_000  # 1 day ≫ the 30-min gap
+
+
 def events_sessions(sf_dir: str) -> ray.data.Dataset:
-    """Gap-based sessionization (30 min) per user: groupby(user).map_groups
-    over the ts-sorted group — the Ray Data pattern for windowed streaming
-    semantics (guide §streaming)."""
+    """Gap-based sessionization (30 min) per user — scale-safe two-phase:
+
+    Phase 1 groups on (user_id, day-bucket) and sessionizes within the
+    bucket; group size is bounded by one user-DAY of events, never a whole
+    user's history (a hot bot with 10^8 events spreads over ~10^8/days
+    buckets). Phase 2 merges bucket-boundary sessions per user; its input
+    is SESSION rows, bounded by bucket_len/gap = 48 rows per user-day
+    regardless of event volume (sessions within a bucket are separated by
+    > gap by construction). Interval-merging maximal within-bucket
+    sessions under the same gap rule is exactly event-level
+    sessionization: two adjacent sessions merge iff next.start − cur.end
+    ≤ gap, the same predicate the event-level pass applies at that
+    boundary."""
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(batch.column("ts"), pa.int64())
+        bucket = pc.divide(ts_us, _SESSION_BUCKET_US)
+        return pa.Table.from_arrays(
+            [batch.column("user_id"), batch.column("ts"), bucket],
+            names=["user_id", "ts", "bucket"],
+        )
+
+    def bucket_sessions(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("ts").reset_index(drop=True)
         ts_us = g["ts"].astype("int64")
-        new_sess = (ts_us.diff().fillna(1 << 62) > _SESSION_GAP_US).cumsum()
-        out = g.groupby(new_sess).agg(
+        sess = (ts_us.diff().fillna(1 << 62) > _SESSION_GAP_US).cumsum()
+        out = g.groupby(sess).agg(
             user_id=("user_id", "first"), session_start=("ts", "min"),
             session_end=("ts", "max"), n_events=("ts", "count"),
         )
         out["n_events"] = out["n_events"].astype("int64")
         return out.reset_index(drop=True)
 
-    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    def merge_user_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("session_start").reset_index(drop=True)
+        start_us = g["session_start"].astype("int64")
+        end_us = g["session_end"].astype("int64")
+        # new session iff gap from the previous session's end exceeds gap
+        prev_end = end_us.cummax().shift(1)
+        brk = (start_us - prev_end.fillna(-(1 << 62))) > _SESSION_GAP_US
+        sid = brk.cumsum()
+        out = g.groupby(sid).agg(
+            user_id=("user_id", "first"), session_start=("session_start", "min"),
+            session_end=("session_end", "max"), n_events=("n_events", "sum"),
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        return out.reset_index(drop=True)
+
+    part = (
+        ev.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby(["user_id", "bucket"])
+        .map_groups(bucket_sessions, batch_format="pandas")
+    )
+    return part.groupby("user_id").map_groups(merge_user_sessions, batch_format="pandas")
 
 
 # --------------------------------------------------------------------------- #
@@ -522,33 +765,57 @@ def lineitem_pricing(sf_dir: str) -> ray.data.Dataset:
 
 
 def orders_by_nation(sf_dir: str) -> ray.data.Dataset:
-    """orders ⋈ customer ⋈ nation with both dimension sides broadcast
-    (ray.put once, dict lookup per batch) — no shuffle join."""
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    ).to_pandas()
-    nation = ray.data.read_parquet(
-        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
-    ).to_pandas()
-    c2n = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
-    n2name = dict(zip(nation["n_nationkey"], nation["n_name"]))
-    ref = ray.put((c2n, n2name))
-
+    """orders ⋈ customer ⋈ nation. Customer is fact-proportional (1.5M
+    rows × sf), so the orders⋈customer leg is a HASH-PARTITIONED shuffle
+    join on custkey — orders are pre-aggregated per custkey (partial
+    combine before the shuffle) so the join input is one row per customer,
+    and neither side ever touches the driver. Only the genuinely tiny
+    nation table (25 rows) is broadcast."""
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
 
-    def partials(batch: pa.Table) -> pa.Table:
-        c2n, n2name = ray.get(ref)
-        names = [n2name.get(c2n.get(c), "UNKNOWN") for c in batch.column("o_custkey").to_pylist()]
+    def order_partials(batch: pa.Table) -> pa.Table:
         t = pa.Table.from_arrays(
-            [pa.array(names, pa.string()), _cents(batch.column("o_totalprice"))],
-            names=["nation", "cents"],
+            [batch.column("o_custkey"), _cents(batch.column("o_totalprice"))],
+            names=["o_custkey", "cents"],
         )
-        g = t.group_by(["nation"]).aggregate([("cents", "sum"), ([], "count_all")])
+        g = t.group_by(["o_custkey"]).aggregate([("cents", "sum"), ([], "count_all")])
+        return g.rename_columns(["o_custkey", "sum_cents", "n_orders"])
+
+    per_cust = (
+        orders.map_batches(order_partials, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("sum_cents", alias_name="sum_cents"),
+                   Sum("n_orders", alias_name="n_orders"))
+    )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    n_parts = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    joined = per_cust.join(
+        cust, "inner", n_parts, on=("o_custkey",), right_on=("c_custkey",)
+    )
+
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    n2name_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+
+    def nation_partials(batch: pa.Table) -> pa.Table:
+        n2name = ray.get(n2name_ref)
+        names = [n2name.get(k, "UNKNOWN")
+                 for k in batch.column("c_nationkey").to_pylist()]
+        t = pa.Table.from_arrays(
+            [pa.array(names, pa.string()), batch.column("sum_cents"),
+             batch.column("n_orders")],
+            names=["nation", "sum_cents", "n_orders"],
+        )
+        g = t.group_by(["nation"]).aggregate([("sum_cents", "sum"), ("n_orders", "sum")])
         return g.rename_columns(["nation", "sum_cents", "n_orders"])
 
-    part = orders.map_batches(partials, batch_format="pyarrow")
+    part = joined.map_batches(nation_partials, batch_format="pyarrow")
     return part.groupby("nation").aggregate(
         Sum("sum_cents", alias_name="sum_cents"), Sum("n_orders", alias_name="n_orders")
     )
@@ -652,6 +919,73 @@ def emb_ann_ivf(sf_dir: str) -> ray.data.Dataset:
 
     cand = emb.map_batches(partial_topk, batch_format="pyarrow")
     return cand.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+def emb_ann_ivf_recall(sf_dir: str, ivf_path: str | None = None) -> ray.data.Dataset:
+    """Recall@k of the IVF path against the exact brute-force top-k,
+    computed distributed: both result sets are joined per query and the
+    hit count emitted as (query_id, n_hits, k). The driver oracle reads
+    the MATERIALIZED ivf output (written here, deterministically) and
+    recomputes the exact top-k independently in SQL — so the recall
+    numbers are hash-checked against an independent exact baseline."""
+    ivf = emb_ann_ivf(sf_dir)
+    if ivf_path is not None:
+        import os
+        import shutil
+
+        if not os.path.exists(f"{ivf_path}/_SUCCESS"):
+            shutil.rmtree(ivf_path, ignore_errors=True)
+            ivf.write_parquet(ivf_path)
+            open(f"{ivf_path}/_SUCCESS", "w").close()
+        ivf = ray.data.read_parquet(ivf_path, columns=["query_id", "rank", "neighbor_id"])
+
+    def tag(src: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [pc.cast(batch.column("query_id"), pa.int64()),
+                 pc.cast(batch.column("neighbor_id"), pa.int64()),
+                 pa.array([src] * batch.num_rows, pa.int8())],
+                names=["query_id", "neighbor_id", "src"],
+            )
+
+        return fn
+
+    both = ivf.map_batches(tag(0), batch_format="pyarrow").union(
+        emb_ann_topk(sf_dir).map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def hits(g: pd.DataFrame) -> pd.DataFrame:
+        a = set(g.loc[g["src"] == 0, "neighbor_id"])
+        b = set(g.loc[g["src"] == 1, "neighbor_id"])
+        return pd.DataFrame(
+            {"query_id": [int(g["query_id"].iloc[0])],
+             "n_hits": pd.Series([len(a & b)], dtype="int64"),
+             "k": pd.Series([_ANN_K], dtype="int64")}
+        )
+
+    # bounded groups (2k rows per query) — union + per-query intersection
+    return both.groupby("query_id").map_groups(hits, batch_format="pandas")
+
+
+def ann_ivf_recall_oracle_sql(ivf_path: str) -> str:
+    """Exact top-k recomputed in SQL; IVF side read from its materialized
+    Parquet; per-query intersection count."""
+    return f"""
+WITH exact AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rnk
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < {_ANN_N_QUERIES} AND c.vec_id >= {_ANN_N_QUERIES}
+  QUALIFY rnk <= {_ANN_K}
+), ivf AS (
+  SELECT query_id, neighbor_id FROM read_parquet('{ivf_path}/*.parquet')
+)
+SELECT e.query_id, count(i.neighbor_id)::BIGINT AS n_hits, {_ANN_K}::BIGINT AS k
+FROM exact e LEFT JOIN ivf i
+  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+GROUP BY e.query_id
+"""
 
 
 # --------------------------------------------------------------------------- #
@@ -770,12 +1104,16 @@ def _charlm_counts(texts) -> tuple[dict, dict]:
 
 
 def doc_charlm_ppl(sf_dir: str) -> ray.data.Dataset:
-    """Per-doc char-trigram LM score: mean -log2 P(c | prev 2 chars) with
-    add-1 smoothing, reported in integer milli-bits (deterministic). The
-    LM trains once on docs with doc_id < 100 and broadcasts via ray.put —
-    at corpus scale the trainer is itself a distributed partial-count
-    groupby (doc_token_freq pattern); here the training slice is bounded.
-    High scores flag out-of-distribution (low-quality) documents."""
+    """Per-doc char-trigram LM surprise with add-1 smoothing: emits
+    (doc_id, n_grams, sum_millibits) where sum_millibits is the INTEGER sum
+    of round(1000·-log2 P(c|prev2)) per trigram — per-trigram rounding
+    before the sum keeps the distributed result bit-exact and lets the
+    DuckDB oracle reproduce it (integer sums are order-independent; a
+    float mean would drift by summation order). Mean millibits/gram =
+    sum_millibits/n_grams for downstream filters. The LM trains once on
+    docs with doc_id < 100 and broadcasts via ray.put — at corpus scale
+    the trainer is itself a distributed partial-count groupby
+    (doc_token_freq pattern); here the training slice is bounded."""
     import math
 
     train = (
@@ -787,20 +1125,53 @@ def doc_charlm_ppl(sf_dir: str) -> ray.data.Dataset:
 
     def score(batch: pa.Table) -> pa.Table:
         ctx, full, V = ray.get(ref)
-        out = []
+        cost_memo: dict[str, int] = {}
+        n_out, s_out = [], []
         for t in batch.column("text").to_pylist():
             s = f"^^{t}$"
-            total = 0.0
-            n = 0
-            for i in range(len(s) - _LM_N + 1):
+            total = 0
+            n = len(s) - _LM_N + 1
+            for i in range(n):
                 g = s[i : i + _LM_N]
-                p = (full.get(g, 0) + 1) / (ctx.get(g[:-1], 0) + V)
-                total += -math.log2(p)
-                n += 1
-            out.append(int(round(1000 * total / max(1, n))))
+                c = cost_memo.get(g)
+                if c is None:
+                    p = (full.get(g, 0) + 1) / (ctx.get(g[:-1], 0) + V)
+                    # floor(x+0.5) == DuckDB round() for positive values
+                    c = cost_memo[g] = int(math.floor(1000.0 * -math.log2(p) + 0.5))
+                total += c
+            n_out.append(n)
+            s_out.append(total)
         return pa.Table.from_arrays(
-            [batch.column("doc_id"), pa.array(out, pa.int64())],
-            names=["doc_id", "ppl_millibits"],
+            [batch.column("doc_id"), pa.array(n_out, pa.int64()),
+             pa.array(s_out, pa.int64())],
+            names=["doc_id", "n_grams", "sum_millibits"],
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(score, batch_format="pyarrow")
+
+
+CHARLM_ORACLE_SQL = """
+WITH tr AS (
+  SELECT '^^' || text || '$' AS s FROM documents WHERE doc_id < 100
+), tg AS (
+  SELECT unnest(list_transform(generate_series(1, length(s) - 2),
+                               i -> substr(s, i, 3))) AS g
+  FROM tr
+), fc AS (
+  SELECT g, count(*)::BIGINT AS c FROM tg GROUP BY g
+), cc AS (
+  SELECT substr(g, 1, 2) AS cx, sum(c)::BIGINT AS c FROM fc GROUP BY cx
+), vs AS (
+  SELECT (count(DISTINCT substr(g, 3, 1)) + 1)::BIGINT AS v FROM fc
+), dg AS (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(1, length('^^' || text || '$') - 2),
+                          i -> substr('^^' || text || '$', i, 3))) AS g
+  FROM documents
+)
+SELECT doc_id, count(*)::BIGINT AS n_grams,
+  sum(round(1000.0 * -log2((coalesce(fc.c, 0) + 1)::DOUBLE
+      / (coalesce(cc.c, 0) + (SELECT v FROM vs)))))::BIGINT AS sum_millibits
+FROM dg LEFT JOIN fc USING (g) LEFT JOIN cc ON substr(dg.g, 1, 2) = cc.cx
+GROUP BY doc_id
+"""

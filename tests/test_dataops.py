@@ -11,10 +11,15 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 SQL_QUERIES = [
     "doc_dedup_exact",
     "doc_jaccard_pairs",
+    "doc_minhash_pairs",
+    "doc_simhash",
+    "doc_fingerprint",
     "doc_token_count",
     "doc_quality",
     "doc_langid",
+    "doc_charlm_ppl",
     "doc_token_freq",
+    "doc_len_histogram",
     "emb_ann_topk",
     "emb_neardup_pairs",
     "events_window",
@@ -107,12 +112,95 @@ def test_charlm_ppl(ray_session):
 
     df = doc_charlm_ppl(SF).to_pandas()
     assert len(df) == 500
-    assert df["ppl_millibits"].between(0, 64_000).all()
+    mean_mb = df["sum_millibits"] / df["n_grams"]
+    assert mean_mb.between(0, 64_000).all()
     # in-domain (training) docs should score no worse than the corpus mean
-    train_mean = df[df["doc_id"] < 100]["ppl_millibits"].mean()
-    assert train_mean <= df["ppl_millibits"].mean() + 100
+    train_mean = mean_mb[df["doc_id"] < 100].mean()
+    assert train_mean <= mean_mb.mean() + 0.1
     # deterministic
     again = doc_charlm_ppl(SF).to_pandas()
     assert df.sort_values("doc_id").reset_index(drop=True).equals(
         again.sort_values("doc_id").reset_index(drop=True)
     )
+
+
+def test_minhash_no_driver_materialization(ray_session, monkeypatch):
+    """The scale-safe minhash path must never pull a dataset onto the
+    driver: candidate verification is a co-partitioned Dataset.join, not a
+    broadcast of driver-materialized shingle sets (VERDICT r1 §wrong #1)."""
+    import ray.data
+    from lingvo__postagger_ner_ru_dnn_ray.stages.dataops import doc_minhash_pairs
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver-side to_pandas() in minhash pipeline")
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", boom)
+    ds = doc_minhash_pairs(SF)
+    assert ds.count() > 0  # stream fully executes without driver pull
+
+
+def test_sessions_extreme_skew(ray_session, tmp_path):
+    """One bot user with ~50% of all events across many days: the two-phase
+    sessionizer groups on (user, day-bucket) so no single-user frame is
+    ever built; output must still equal event-level sessionization."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(7)
+    base = 1_700_000_000_000_000  # us
+    day = 86_400_000_000
+    # bot: one event every ~20 min for 10 days (continuous mega-session
+    # spanning every bucket boundary) plus a few >30min breaks
+    n_bot = 720
+    gaps = np.full(n_bot, 20 * 60_000_000, dtype=np.int64)
+    gaps[rng.choice(np.arange(1, n_bot), 5, replace=False)] = 45 * 60_000_000
+    bot_ts = base + np.cumsum(gaps)
+    # 50 normal users with sparse events
+    users, tss = ["bot"] * n_bot, list(bot_ts)
+    for u in range(50):
+        for e in range(rng.randint(3, 15)):
+            users.append(f"u{u}")
+            tss.append(base + rng.randint(0, 12 * day))
+    tbl = pa.table({
+        "user_id": pa.array(users),
+        "ts": pa.array(np.array(tss, dtype="int64"), pa.timestamp("us")),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+
+    from lingvo__postagger_ner_ru_dnn_ray.stages.dataops import events_sessions
+
+    got = events_sessions(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    import __ray_entry__ as e
+
+    want = con.execute(e._dataops_sql()["events_sessions"]).fetchdf()
+    g = _canon(got)
+    w = _canon(want)
+    assert len(g) == len(w)
+    assert g.equals(w) or g.astype(str).equals(w.astype(str))
+    # the bot's continuous run must survive all bucket-boundary merges
+    bot = got[got["user_id"] == "bot"]
+    assert len(bot) == 6  # 5 breaks -> 6 sessions
+    assert int(bot["n_events"].sum()) == n_bot
+
+
+def test_orders_by_nation_no_fact_broadcast(ray_session, monkeypatch):
+    """orders_by_nation may only driver-materialize genuinely small
+    dimensions (nation, 25 rows) — never the fact-proportional customer
+    table (VERDICT r1 §wrong #3)."""
+    import ray.data
+    from lingvo__postagger_ner_ru_dnn_ray.stages.dataops import orders_by_nation
+
+    orig = ray.data.Dataset.to_pandas
+
+    def guarded(self, *a, **k):
+        df = orig(self, *a, **k)
+        assert len(df) <= 100, f"driver-materialized {len(df)} rows"
+        return df
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", guarded)
+    assert orders_by_nation(SF).count() > 0
