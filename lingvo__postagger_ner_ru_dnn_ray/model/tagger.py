@@ -139,8 +139,9 @@ class SeqLabelModel:
         for r, ln in enumerate(lens):
             mask[r, :ln] = True
         lab_ids = self.forward_ids(ids, mask)
-        labels = self.labels
-        return [[labels[lab_ids[r, j]] for j in range(lens[r])] for r in range(B)]
+        labels_arr = np.array(self.labels, dtype=object)
+        lab_strs = labels_arr[lab_ids]  # [B, L] object array, one fancy-index
+        return [lab_strs[r, : lens[r]].tolist() for r in range(B)]
 
     def words_in_dict_ratio(self, sents: list[list[str]]) -> list[float]:
         """Fraction of tokens found in the source vocab per sentence

@@ -105,13 +105,16 @@ def fused_linked_triples(
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 256,
     dict_ref=None,
+    artifact_dir: str | None = None,
 ) -> ray.data.Dataset:
     """transcripts → linked triples in ONE fused stage (stages/fused.py).
 
     Default (``concurrency=None``): stateless tasks with module-singleton
     state — warm workers are reused across executions and the scheduler
     uses every free CPU. Pass an int/tuple to run the KgStage actor pool
-    instead (the layout for models shipped as external artifacts)."""
+    instead — the layout for models shipped as external artifacts; give
+    ``artifact_dir`` (see model/artifact.py) and each actor loads the
+    sha-verified .npz weights once in __init__."""
     if concurrency is None:
         from ..stages.fused import kg_stage_fn
 
@@ -125,7 +128,7 @@ def fused_linked_triples(
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
-        fn_constructor_kwargs={"dict_ref": dict_ref},
+        fn_constructor_kwargs={"dict_ref": dict_ref, "artifact_dir": artifact_dir},
     )
 
 

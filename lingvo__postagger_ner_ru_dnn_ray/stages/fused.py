@@ -27,8 +27,8 @@ class KgStage:
     """transcript rows -> linked triple rows (one actor = both DNNs + the
     broadcast entity dictionary, loaded once)."""
 
-    def __init__(self, dict_ref=None):
-        self.tagger = TaggerStage()
+    def __init__(self, dict_ref=None, artifact_dir: str | None = None):
+        self.tagger = TaggerStage(artifact_dir=artifact_dir)
         self.linker = LinkerStage(dict_ref=dict_ref, columns=("subj", "obj"))
 
     def __call__(self, batch: pa.Table) -> pa.Table:

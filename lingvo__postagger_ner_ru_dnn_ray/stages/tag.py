@@ -19,6 +19,8 @@ Long sentences follow Predict_Full chunking (SeqLabel.cs:259-311).
 """
 from __future__ import annotations
 
+from functools import lru_cache
+
 import pyarrow as pa
 
 from ..model.lexicon import taggers
@@ -30,6 +32,13 @@ from ..textkit.features import (
     POS_LABEL_TO_ID,
     to_model_token,
 )
+
+
+@lru_cache(maxsize=1_000_000)
+def _model_token_cached(v: str, it: int, mel: int) -> str:
+    """Per-worker token→model-token cache (Zipfian hit rate; the projection
+    is a pure function of the token value + input type)."""
+    return to_model_token(v, it, mel)
 
 
 def _correct_pos(input_types, extras, raw_labels):
@@ -52,8 +61,17 @@ def _correct_pos(input_types, extras, raw_labels):
 
 
 class TaggerStage:
-    def __init__(self, with_dict_ratio: bool = False):
-        self.pos_model, self.ner_model = taggers()
+    def __init__(self, with_dict_ratio: bool = False, artifact_dir: str | None = None):
+        """``artifact_dir``: load the two models from .npz artifacts (the
+        production model-shipped-as-file path, analogue of LoadModelRoutine
+        BaseSeq2SeqFramework.cs:204-228 — once per actor, sha-verified);
+        default: lexicon-constructed module singletons."""
+        if artifact_dir is not None:
+            from ..model.artifact import load_taggers
+
+            self.pos_model, self.ner_model = load_taggers(artifact_dir)
+        else:
+            self.pos_model, self.ner_model = taggers()
         self.with_dict_ratio = with_dict_ratio
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -61,12 +79,13 @@ class TaggerStage:
         input_types = batch.column("input_types").to_pylist()
         extras = batch.column("extras").to_pylist()
 
+        mt = _model_token_cached
         pos_in = [
-            [to_model_token(v, it, 4) for v, it in zip(vs, its)]
+            [mt(v, it, 4) for v, it in zip(vs, its)]
             for vs, its in zip(values, input_types)
         ]
         ner_in = [
-            [to_model_token(v, it, 10000) for v, it in zip(vs, its)]
+            [mt(v, it, 10000) for v, it in zip(vs, its)]
             for vs, its in zip(values, input_types)
         ]
         pos_raw = self.pos_model.predict_batch(pos_in)

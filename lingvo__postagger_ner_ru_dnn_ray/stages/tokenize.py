@@ -39,6 +39,11 @@ SENT_SCHEMA = pa.schema(
 
 
 def tokenize_batch(batch: pa.Table) -> pa.Table:
+    """Arrow-native output: token attributes append to FLAT builders with a
+    shared offsets array and become ListArrays via ListArray.from_arrays —
+    no per-sentence Python list objects survive to the Arrow conversion."""
+    import numpy as np
+
     conv = batch.column("conv_id").to_pylist()
     turn = batch.column("turn_idx").to_pylist()
     role = batch.column("role").to_pylist() if "role" in batch.column_names else [""] * len(conv)
@@ -48,11 +53,12 @@ def tokenize_batch(batch: pa.Table) -> pa.Table:
     o_turn: list[int] = []
     o_role: list[str] = []
     o_sidx: list[int] = []
-    o_vals: list[list[str]] = []
-    o_starts: list[list[int]] = []
-    o_lens: list[list[int]] = []
-    o_it: list[list[int]] = []
-    o_ex: list[list[int]] = []
+    offsets: list[int] = [0]
+    f_vals: list[str] = []
+    f_starts: list[int] = []
+    f_lens: list[int] = []
+    f_it: list[int] = []
+    f_ex: list[int] = []
 
     for c, t, r, x in zip(conv, turn, role, text):
         if not x:
@@ -62,11 +68,18 @@ def tokenize_batch(batch: pa.Table) -> pa.Table:
             o_turn.append(t)
             o_role.append(r)
             o_sidx.append(si)
-            o_vals.append([w.value for w in words])
-            o_starts.append([w.start for w in words])
-            o_lens.append([w.length for w in words])
-            o_it.append([w.input_type for w in words])
-            o_ex.append([w.extra for w in words])
+            for w in words:
+                f_vals.append(w.value)
+                f_starts.append(w.start)
+                f_lens.append(w.length)
+                f_it.append(w.input_type)
+                f_ex.append(w.extra)
+            offsets.append(len(f_vals))
+
+    off = pa.array(np.asarray(offsets, dtype=np.int32))
+
+    def lst(flat, typ):
+        return pa.ListArray.from_arrays(off, pa.array(flat, typ))
 
     return pa.Table.from_arrays(
         [
@@ -74,11 +87,11 @@ def tokenize_batch(batch: pa.Table) -> pa.Table:
             pa.array(o_turn, pa.int32()),
             pa.array(o_role, pa.string()),
             pa.array(o_sidx, pa.int32()),
-            pa.array(o_vals, pa.list_(pa.string())),
-            pa.array(o_starts, pa.list_(pa.int32())),
-            pa.array(o_lens, pa.list_(pa.int32())),
-            pa.array(o_it, pa.list_(pa.uint8())),
-            pa.array(o_ex, pa.list_(pa.uint8())),
+            lst(f_vals, pa.string()),
+            lst(f_starts, pa.int32()),
+            lst(f_lens, pa.int32()),
+            lst(f_it, pa.uint8()),
+            lst(f_ex, pa.uint8()),
         ],
         schema=SENT_SCHEMA,
     )

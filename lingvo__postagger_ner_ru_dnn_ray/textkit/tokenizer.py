@@ -71,6 +71,14 @@ class Word:
         return f"Word({self.value!r}@{self.start}+{self.length},it={self.input_type},ex={self.extra})"
 
 
+# Token-intern cache: every derived attribute of a token (canonical value,
+# upper form, input type, flags) is a pure function of its code units, and
+# token frequency is Zipfian — one dict probe replaces two string builds +
+# the per-char feature scan for every repeated token. Per-worker, bounded.
+_TOKEN_MEMO: dict[bytes, tuple] = {}
+_TOKEN_MEMO_MAX = 1_000_000
+
+
 class _SentTokenizer:
     __slots__ = (
         "u", "ul", "n", "s", "end", "words", "start_index", "cur_len",
@@ -133,11 +141,18 @@ class _SentTokenizer:
                 self.last_num = None
             self.is_prev_num = False
 
-        value = xlat.from_u16(self.u, start, length)
-        upper = xlat.from_u16(_UPN[self.u[start : start + length]], 0, length)
-        input_type, extra = get_input_type(self.ul, start, length)
-        upper_uml = normalize_umlautes(upper, upper=True) if extra & EX_HAS_UMLAUTES else None
-        value = _clear_value_original(value, extra, self.u, start, length)
+        key = self.u[start : start + length].tobytes()
+        hit = _TOKEN_MEMO.get(key)
+        if hit is None:
+            value = xlat.from_u16(self.u, start, length)
+            upper = xlat.from_u16(_UPN[self.u[start : start + length]], 0, length)
+            input_type, extra = get_input_type(self.ul, start, length)
+            upper_uml = normalize_umlautes(upper, upper=True) if extra & EX_HAS_UMLAUTES else None
+            value = _clear_value_original(value, extra, self.u, start, length)
+            if len(_TOKEN_MEMO) > _TOKEN_MEMO_MAX:
+                _TOKEN_MEMO.clear()
+            _TOKEN_MEMO[key] = hit = (value, upper, input_type, extra, upper_uml)
+        value, upper, input_type, extra, upper_uml = hit
         self.words.append(Word(value, upper, start, length, input_type, extra, upper_uml))
         self.start_index += length
         self.cur_len = 0

@@ -74,3 +74,57 @@ def test_entity_dictionary_shape():
     assert all(r["type"] in ("PER", "ORG", "LOC") for r in rows)
     canons = {r["canonical"] for r in rows}
     assert "Виктор Нечаев" not in canons  # deliberate NIL entity
+
+
+def test_artifact_roundtrip(tmp_path):
+    """save_artifact -> load_artifact reproduces identical predictions
+    (the .s2s save/load analogue, BaseSeq2SeqFramework.cs:172-228)."""
+    from lingvo__postagger_ner_ru_dnn_ray.model.artifact import (
+        load_artifact,
+        save_artifact,
+    )
+
+    pos, _ = taggers()
+    manifest = save_artifact(pos, tmp_path / "pos.npz")
+    assert manifest["format"] == "npz-v1" and manifest["n_weight_tensors"] > 0
+    loaded = load_artifact(tmp_path / "pos.npz")
+    assert loaded.src_vocab.word_to_index == pos.src_vocab.word_to_index
+    assert loaded.labels == pos.labels
+    toks = list(pos_token_label())[:50]
+    assert loaded.predict_batch([toks]) == pos.predict_batch([toks])
+    for k in pos.w:
+        np.testing.assert_array_equal(loaded.w[k], pos.w[k])
+
+
+def test_artifact_tamper_detection(tmp_path):
+    from lingvo__postagger_ner_ru_dnn_ray.model.artifact import (
+        load_artifact,
+        save_artifact,
+    )
+
+    pos, _ = taggers()
+    save_artifact(pos, tmp_path / "pos.npz")
+    data = (tmp_path / "pos.npz").read_bytes()
+    (tmp_path / "pos.npz").write_bytes(data[:-8] + b"\x00" * 8)
+    import pytest
+
+    with pytest.raises(ValueError, match="hash mismatch"):
+        load_artifact(tmp_path / "pos.npz")
+    # pristine artifact + verify=False skips the integrity check
+    save_artifact(pos, tmp_path / "pos2.npz")
+    load_artifact(tmp_path / "pos2.npz", verify=False)
+
+
+def test_ensure_default_artifacts_idempotent(tmp_path):
+    from lingvo__postagger_ner_ru_dnn_ray.model.artifact import (
+        ensure_default_artifacts,
+        load_taggers,
+    )
+
+    d1 = ensure_default_artifacts(tmp_path / "models")
+    m1 = (tmp_path / "models" / "pos.npz").stat().st_mtime_ns
+    d2 = ensure_default_artifacts(tmp_path / "models")
+    assert d1 == d2
+    assert (tmp_path / "models" / "pos.npz").stat().st_mtime_ns == m1  # no rewrite
+    pos, ner = load_taggers(d1)
+    assert pos.max_ending_length == 4 and ner.max_ending_length == 10000

@@ -65,6 +65,22 @@ def test_fused_equals_modular(fixture_path, oracle, concurrency):
     assert _sorted_df(tri, TRIPLE_KEYS).equals(_sorted_df(want, TRIPLE_KEYS))
 
 
+def test_fused_actor_pool_from_artifact(fixture_path, oracle, tmp_path_factory):
+    """Actor-pool mode loading the sha-verified .npz artifacts in actor
+    __init__ (the production model-shipped-as-file path) must reproduce
+    the oracle exactly."""
+    from lingvo__postagger_ner_ru_dnn_ray.model.artifact import ensure_default_artifacts
+    from lingvo__postagger_ner_ru_dnn_ray.pipelines.kg import fused_linked_triples
+
+    adir = ensure_default_artifacts(tmp_path_factory.mktemp("models"))
+    ds = read_transcripts(fixture_path).sort(["conv_id", "turn_idx"])
+    tri = fused_linked_triples(
+        ds, concurrency=2, batch_size=64, artifact_dir=adir
+    ).to_pandas()
+    want = oracle["triples"].to_pandas()
+    assert _sorted_df(tri, TRIPLE_KEYS).equals(_sorted_df(want, TRIPLE_KEYS))
+
+
 def test_mentions_match_oracle(fixture_path, oracle):
     ds = read_transcripts(fixture_path).sort(["conv_id", "turn_idx"])
     m = mention_rows(tagged_sentences(ds, tag_concurrency=2)).to_pandas()
