@@ -68,3 +68,80 @@ def test_oracle_on_reference_material():
     surfaces = set(out["mentions"].column("surface").to_pylist())
     assert "Минобороны" in surfaces
     assert "РФ" in surfaces
+
+
+# --------------------------------------------------------------------------- #
+# verbatim bundled-input parity net (VERDICT r1 §missing #2): tokenize ALL
+# lines of the reference's bundled test file on both dot variants and pin
+# the full token/value/offset/type sequences (fixtures/
+# reference_input_tokens.json — generated once, manually reviewed against
+# the C# rules: hyphen always splits Tokenizer.cs:502, NUM collapse of
+# "2010г.", OneCapital "С" + detached dot on the Simple path vs "С."
+# kept on the console path, Quote typing of ").
+
+_REF_INPUT = "/root/reference/[resources]/input-text/input_pos_tagger_ru.txt"
+
+
+def _tok_dicts_simple(line):
+    from lingvo__postagger_ner_ru_dnn_ray.textkit.features import INPUT_TYPE_NAMES
+
+    return [
+        [{"v": w.value, "s": w.start, "l": w.length,
+          "t": INPUT_TYPE_NAMES[w.input_type], "x": w.extra} for w in sent]
+        for sent in tokenize_text(line)
+    ]
+
+
+def _tok_dicts_console(line):
+    from lingvo__postagger_ner_ru_dnn_ray.textkit.features import INPUT_TYPE_NAMES
+
+    return [
+        {"v": w.value, "s": w.start, "l": w.length,
+         "t": INPUT_TYPE_NAMES[w.input_type], "x": w.extra}
+        for w in tokenize_text_console(line)
+    ]
+
+
+def test_bundled_input_verbatim_snapshot():
+    import json
+    import os
+
+    import pytest
+
+    if not os.path.exists(_REF_INPUT):
+        pytest.skip("reference bundled input not available")
+    lines = [
+        l for l in open(_REF_INPUT, encoding="utf-8-sig").read().splitlines()
+        if l.strip()  # reference skips blank lines, ConsoleDemo/Program.cs:243
+    ]
+    want = json.load(open(os.path.join(os.path.dirname(__file__), "..",
+                                       "fixtures", "reference_input_tokens.json")))
+    assert len(lines) == len(want) == 15
+    for line, snap in zip(lines, want):
+        assert _tok_dicts_simple(line) == snap["simple"], line
+        assert _tok_dicts_console(line) == snap["console"], line
+
+
+def test_bundled_input_key_phenomena():
+    import os
+
+    import pytest
+
+    if not os.path.exists(_REF_INPUT):
+        pytest.skip("reference bundled input not available")
+    lines = [
+        l for l in open(_REF_INPUT, encoding="utf-8-sig").read().splitlines() if l.strip()
+    ]
+    # "в июле 2010г." -> single [%NUM%] (digit+unit-suffix collapse)
+    l12 = [w.value for s in tokenize_text(lines[12]) for w in s]
+    assert "[%NUM%]" in l12 and "2010г" not in l12
+    # «Чарт-Пилот» inside quotes: hyphen always splits (Tokenizer.cs:502)
+    assert ["\"", "Чарт", "-", "Пилот", "\""] == l12[l12.index("Чарт") - 1 : l12.index("Чарт") + 4]
+    # Simple path detaches the dot of "С.Козлову"; console keeps "С." when
+    # next char is uppercase (Tokenizer.cs:491-497 vs :732-744)
+    l11_simple = [w.value for s in tokenize_text(lines[11]) for w in s]
+    l11_console = [w.value for w in tokenize_text_console(lines[11])]
+    assert "С" in l11_simple and "С." not in l11_simple
+    assert "С." in l11_console
+    # "9,5 млн руб." -> NUM (digits+punct) at line 12 tail
+    assert l12.count("[%NUM%]") >= 2
