@@ -147,6 +147,26 @@ def _seqlabel_f1(sf_dir: str):
     return seqlabel_f1_counts(_kg_table(sf_dir, "sentences"))
 
 
+def _kg_sentence_len_histogram(sf_dir: str):
+    """Sentence token-length histogram over the tagged sentences — the
+    Corpus.cs:210-316 length-bucket analogue (partial counts → tiny sum)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    sents = _kg_table(sf_dir, "sentences")
+
+    def partials(batch: pa.Table) -> pa.Table:
+        lens = pc.list_value_length(batch.column("values"))
+        b = pc.divide(pc.cast(lens, pa.int64()), 10)
+        t = pa.Table.from_arrays([b], names=["len_bucket"])
+        g = t.group_by(["len_bucket"]).aggregate([([], "count_all")])
+        return g.rename_columns(["len_bucket", "n_sents"])
+
+    part = sents.map_batches(partials, batch_format="pyarrow")
+    return part.groupby("len_bucket").aggregate(Sum("n_sents", alias_name="n_sents"))
+
+
 def _kg_pos_label_counts(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -194,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edges": lambda sf: _kg_table(sf, "edges"),
         "kg_nodes": lambda sf: _kg_table(sf, "nodes"),
         "kg_pos_label_counts": _kg_pos_label_counts,
+        "kg_sentence_len_histogram": _kg_sentence_len_histogram,
         "seqlabel_f1": _seqlabel_f1,
         # --- dedup family
         "doc_dedup_exact": d.doc_dedup_exact,
@@ -218,6 +239,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- event-stream windowing
         "events_window": d.events_window,
         "events_sessions": d.events_sessions,
+        "events_user_cumsum": d.events_user_cumsum,
+        "events_value_quantiles": d.events_value_quantiles,
+        # --- sampling / ranking / anti-join
+        "doc_sample": d.doc_sample,
+        "supplier_topk_per_nation": d.supplier_topk_per_nation,
+        "customers_without_orders": d.customers_without_orders,
         # --- relational basics
         "lineitem_pricing": d.lineitem_pricing,
         "orders_by_nation": d.orders_by_nation,
@@ -369,6 +396,35 @@ def _dataops_sql() -> dict[str, str]:
             "SELECT user_id, count(*)::BIGINT AS n_events FROM events "
             "GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 20"
         ),
+        "doc_sample": (
+            "SELECT doc_id, length(text)::BIGINT AS n_chars FROM documents "
+            "WHERE md5_number_upper(doc_id::VARCHAR) % 100 < 10"
+        ),
+        "supplier_topk_per_nation": (
+            "SELECT s_nationkey, row_number() OVER (PARTITION BY s_nationkey "
+            "ORDER BY cast(round(s_acctbal*100) AS BIGINT) DESC, s_suppkey) AS rank, "
+            "s_suppkey, cast(round(s_acctbal*100) AS BIGINT) AS bal_cents "
+            "FROM supplier QUALIFY rank <= 3"
+        ),
+        "customers_without_orders": (
+            "SELECT c_custkey FROM customer c WHERE NOT EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_orderdate >= TIMESTAMP '1997-06-01' "
+            "AND o.o_orderdate < TIMESTAMP '1997-07-01')"
+        ),
+        "events_user_cumsum": (
+            "SELECT user_id, ts, sum(cents) OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_cents FROM ("
+            "SELECT user_id, ts, sum(cast(round(value*100) AS BIGINT)) AS cents "
+            "FROM events GROUP BY user_id, ts)"
+        ),
+        "events_value_quantiles": (
+            "SELECT event_type, quantile_disc(cents, 0.50)::BIGINT AS p50_cents, "
+            "quantile_disc(cents, 0.90)::BIGINT AS p90_cents, "
+            "quantile_disc(cents, 0.99)::BIGINT AS p99_cents FROM ("
+            "SELECT event_type, cast(round(value*100) AS BIGINT) AS cents FROM events) "
+            "GROUP BY event_type"
+        ),
         # media_features: stub codec -> rows-only check (by design)
     }
 
@@ -392,6 +448,10 @@ def oracle_sql() -> dict[str, str]:
     orc = _ensure_kg_oracle(sf)
     sql.update(_kg_sql(orc))
     sql["seqlabel_f1"] = seqlabel_f1_oracle_sql(f"{orc}/sentences.parquet")
+    sql["kg_sentence_len_histogram"] = (
+        "SELECT len(\"values\") // 10 AS len_bucket, count(*)::BIGINT AS n_sents "
+        f"FROM read_parquet('{orc}/sentences.parquet') GROUP BY len(\"values\") // 10"
+    )
     ivf_path = _ivf_dir(sf)
     emb_ann_ivf_recall(sf, ivf_path=ivf_path).count()  # materialize once
     sql["emb_ann_ivf_recall"] = ann_ivf_recall_oracle_sql(ivf_path)

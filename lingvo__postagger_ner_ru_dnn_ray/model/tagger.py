@@ -74,6 +74,9 @@ class SeqLabelModel:
     # ------------------------------------------------------------------ #
     def forward_ids(self, ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
         """ids [B,L] int32, mask [B,L] bool(valid) -> label ids [B,L]."""
+        return self._forward_logits(ids, mask).argmax(axis=-1)
+
+    def _forward_logits(self, ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
         w = self.w
         x = w["emb"][ids] * np.sqrt(self.dim)
         x = x + self._pos[: ids.shape[1]][None, :, :]
@@ -92,8 +95,7 @@ class SeqLabelModel:
             x = _layer_norm(x + ctx @ w[p + "wo"], w[p + "ln1g"], w[p + "ln1b"])
             h = np.maximum(x @ w[p + "w1"] + w[p + "b1"], 0.0)
             x = _layer_norm(x + h @ w[p + "w2"], w[p + "ln2g"], w[p + "ln2b"])
-        logits = x @ w["head_w"] + w["head_b"]
-        return logits.argmax(axis=-1)
+        return x @ w["head_w"] + w["head_b"]
 
     # ------------------------------------------------------------------ #
     def predict_batch(self, sents: list[list[str]]) -> list[list[str]]:
@@ -142,6 +144,43 @@ class SeqLabelModel:
         labels_arr = np.array(self.labels, dtype=object)
         lab_strs = labels_arr[lab_ids]  # [B, L] object array, one fancy-index
         return [lab_strs[r, : lens[r]].tolist() for r in range(B)]
+
+    def topk_class_probs(self, sents: list[list[str]], k: int = 3) -> list[list[list[tuple[str, float]]]]:
+        """Per-token top-k (label, probability) ranked by probability desc
+        — the UI's class-probability sort (SeqLabel.cs:205-213; comparer
+        BaseSeq2SeqFramework.cs:34-46). Ties broken by label id (stable
+        argsort), matching the reference's stable OrderByDescending."""
+        if not sents:
+            return []
+        lens = [len(t) for t in sents]
+        L = max(lens)
+        if L == 0:
+            return [[] for _ in sents]
+        B = len(sents)
+        ids = np.full((B, L), EOS_ID, dtype=np.int32)
+        g = self.src_vocab.word_to_index.get
+        for r, toks in enumerate(sents):
+            ids[r, : len(toks)] = [g(t, 2) for t in toks]
+        mask = np.zeros((B, L), dtype=bool)
+        for r, ln in enumerate(lens):
+            mask[r, :ln] = True
+        probs = self.forward_probs(ids, mask)  # [B, L, C]
+        k = min(k, probs.shape[-1])
+        order = np.argsort(-probs, axis=-1, kind="stable")[..., :k]
+        out = []
+        for r, ln in enumerate(lens):
+            sent_out = []
+            for j in range(ln):
+                sent_out.append(
+                    [(self.labels[c], float(probs[r, j, c])) for c in order[r, j]]
+                )
+            out.append(sent_out)
+        return out
+
+    def forward_probs(self, ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        """Like forward_ids but returns the softmax distribution [B,L,C]."""
+        logits = self._forward_logits(ids, mask)
+        return _softmax(logits)
 
     def words_in_dict_ratio(self, sents: list[list[str]]) -> list[float]:
         """Fraction of tokens found in the source vocab per sentence

@@ -216,7 +216,12 @@ def doc_jaccard_pairs(sf_dir: str, threshold_pct: int = 1) -> ray.data.Dataset:
 _MH_PERMS = 64
 _MH_BANDS = 32  # 32 bands × 2 rows: P(candidate | j=0.5) ≈ 0.9997
 _MH_P = np.uint64((1 << 31) - 1)  # 2147483647
-_MH_SALT_BITS = 12  # LSH groups on (band, bucket & 0xFFF): ≤ 32·4096 groups
+# LSH rows group on salt = hash(band, bucket) % N_SALTS: group size is a
+# bounded 1/N_SALTS slice of the band rows (scale knob: set ≈ 32-64 ×
+# cluster cores so groups stay block-sized), group COUNT is fixed so the
+# per-group Python dispatch cost stays constant, and the duplicated-
+# bucket scan inside each group is vectorized pandas.
+_MH_N_SALTS = 1024
 
 _MH_RNG = np.random.RandomState(1234)
 _MH_A = _MH_RNG.randint(1, int(_MH_P), size=_MH_PERMS).astype(np.uint64)
@@ -226,6 +231,26 @@ _MH_B = _MH_RNG.randint(0, int(_MH_P), size=_MH_PERMS).astype(np.uint64)
 def _md5_u64(s: str) -> int:
     """First 8 bytes of md5, little-endian == DuckDB md5_number_upper()."""
     return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+
+
+_JOIN_SALTS = 512  # scale knob: ≈ 16-32 × cluster cores
+
+
+def _key_salt(k: np.ndarray) -> np.ndarray:
+    """Multiply-hash int64 keys into _JOIN_SALTS bounded partitions
+    (vectorized; the partition is the map_groups unit so per-group Python
+    dispatch is O(partitions), never O(keys))."""
+    return (
+        ((k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33))
+        % np.uint64(_JOIN_SALTS)
+    ).astype(np.int64)
+
+
+_EMPTY_MERGE_FRAME = pd.DataFrame({
+    "k": pd.Series([], dtype="int64"), "salt": pd.Series([], dtype="int64"),
+    "kind": pd.Series([], dtype="int8"), "other": pd.Series([], dtype="int64"),
+    "payload": pd.Series([], dtype="object"),
+})
 
 
 def _minhash_sig(sh: frozenset) -> np.ndarray:
@@ -242,18 +267,19 @@ def doc_minhash_pairs(sf_dir: str, verify_threshold_pct: int = 1) -> ray.data.Da
     1. to_bands: per doc, 32 rows (doc_id, band, bucket) where bucket is the
        EXACT encoding (s0<<31 | s1) of the band's two 31-bit signature rows
        (no hash collisions → candidate set is exactly sig-equality).
-    2. candidates: groupby (band, bucket & 0xFFF) — bounded groups (the
-       salt caps group size at ~n_docs/4096 per band) with a vectorized
-       duplicated-bucket scan inside each group; then a (doc_a, doc_b)
-       groupby dedups across bands.
-    3. verify: candidates are JOINED back to the document texts with two
-       hash-partitioned Dataset.join calls (co-partitioned; nothing is
-       materialized on the driver), then exact Jaccard filters the pairs.
+    2. candidates: groupby salt = hash(band, bucket) % N_SALTS — all rows
+       of one (band, bucket) land in one bounded group, and the
+       duplicated-bucket pair scan inside each group is vectorized pandas
+       over (band, bucket); then a (doc_a, doc_b) groupby dedups across
+       bands.
+    3. verify: candidates are merged back to the document texts with two
+       reduce-side co-partitioned groupby merges (hash-partitioned on the
+       doc id; nothing is materialized on the driver), then exact Jaccard
+       filters the pairs.
 
     Emits verified pairs (doc_a, doc_b, jaccard_pct)."""
     rows_per_band = _MH_PERMS // _MH_BANDS
     assert rows_per_band == 2  # bucket packing below assumes 2×31-bit rows
-    salt_mask = (1 << _MH_SALT_BITS) - 1
 
     def to_bands(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -264,21 +290,25 @@ def doc_minhash_pairs(sf_dir: str, verify_threshold_pct: int = 1) -> ray.data.Da
             sig = _minhash_sig(_shingles(text))
             packed = (sig[0::2].astype(np.int64) << 31) | sig[1::2].astype(np.int64)
             buckets[r * _MH_BANDS : (r + 1) * _MH_BANDS] = packed
+        salt = (
+            (buckets.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            ^ (bands.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))
+        ) % np.uint64(_MH_N_SALTS)
         return pa.Table.from_arrays(
             [pa.array(ids), pa.array(bands), pa.array(buckets),
-             pa.array(buckets & salt_mask)],
+             pa.array(salt.astype(np.int64))],
             names=["doc_id", "band", "bucket", "salt"],
         )
 
     def salted_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        # one group per (band, salt): vectorized scan for duplicated buckets
-        g = group[group.duplicated("bucket", keep=False)]
+        # one group per salt: vectorized scan over its (band, bucket) runs
+        g = group[group.duplicated(["band", "bucket"], keep=False)]
         if g.empty:
             return pd.DataFrame(
                 {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
             )
         a_out, b_out = [], []
-        for _, ids in g.groupby("bucket")["doc_id"]:
+        for _, ids in g.groupby(["band", "bucket"], sort=False)["doc_id"]:
             uniq = sorted(set(ids.tolist()))
             for i in range(len(uniq)):
                 for j in range(i + 1, len(uniq)):
@@ -290,68 +320,76 @@ def doc_minhash_pairs(sf_dir: str, verify_threshold_pct: int = 1) -> ray.data.Da
 
     docs = _docs(sf_dir, ["doc_id", "text"])
     bands = docs.map_batches(to_bands, batch_format="pyarrow")
-    cand = bands.groupby(["band", "salt"]).map_groups(salted_pairs, batch_format="pandas")
+    cand = bands.groupby("salt").map_groups(salted_pairs, batch_format="pandas")
     # dedup candidate pairs across bands
     cand = cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
 
     # verify with exact jaccard via two reduce-side co-partitioned merges:
-    # candidates and doc payloads are unioned and hash-partitioned on the
-    # key (groupby), each bounded group holding one doc row + its
-    # candidate rows — the two semi-joins of a shuffle join, with nothing
-    # ever materialized on the driver. (Implemented as groupby.map_groups
+    # candidates and doc payloads are unioned, hash-partitioned on
+    # salt(doc id) into _JOIN_SALTS bounded partitions, and each partition
+    # runs a VECTORIZED pandas merge — the classic partitioned hash join,
+    # with nothing ever materialized on the driver. (groupby-on-salt
     # rather than Dataset.join: Ray 2.49's join aggregator synthesizes
     # schema-less tables for empty hash partitions and Acero then rejects
-    # the key field; groupby has no such failure mode.)
+    # the key field; and salting keeps the per-group Python dispatch cost
+    # at O(partitions), not O(keys).)
     def tag_docs(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        k = np.asarray(batch.column("doc_id"), dtype=np.int64)
         return pa.Table.from_arrays(
-            [batch.column("doc_id"), pa.array([0] * n, pa.int8()),
+            [pa.array(k), pa.array(_key_salt(k)), pa.array([0] * n, pa.int8()),
              pa.nulls(n, pa.int64()), batch.column("text")],
-            names=["k", "kind", "other", "payload"],
+            names=["k", "salt", "kind", "other", "payload"],
         )
 
     def tag_cand(batch: pa.Table) -> pa.Table:
         # key on doc_a for the first merge
         if batch.num_columns == 0 or batch.num_rows == 0:
             return pa.Table.from_arrays(
-                [pa.array([], pa.int64()), pa.array([], pa.int8()),
-                 pa.array([], pa.int64()), pa.array([], pa.string())],
-                names=["k", "kind", "other", "payload"],
+                [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                 pa.array([], pa.int8()), pa.array([], pa.int64()),
+                 pa.array([], pa.string())],
+                names=["k", "salt", "kind", "other", "payload"],
             )
         n = batch.num_rows
+        k = np.asarray(batch.column("doc_a"), dtype=np.int64)
         return pa.Table.from_arrays(
-            [batch.column("doc_a"), pa.array([1] * n, pa.int8()),
+            [pa.array(k), pa.array(_key_salt(k)), pa.array([1] * n, pa.int8()),
              batch.column("doc_b"), pa.nulls(n, pa.string())],
-            names=["k", "kind", "other", "payload"],
+            names=["k", "salt", "kind", "other", "payload"],
         )
 
     def attach_text_a(g: pd.DataFrame) -> pd.DataFrame:
-        doc = g.loc[g["kind"] == 0, "payload"]
-        c = g[g["kind"] == 1]
-        if doc.empty or c.empty:
-            return pd.DataFrame({
-                "k": pd.Series([], dtype="int64"), "kind": pd.Series([], dtype="int8"),
-                "other": pd.Series([], dtype="int64"),
-                "payload": pd.Series([], dtype="object"),
-            })
-        # re-key on doc_b for the second merge; carry (doc_a, text_a).
-        # .to_numpy() strips the group's index — mixing indexed Series
-        # with fresh ones would align-and-drop rows
+        # vectorized hash-merge of all keys in this salt partition;
+        # re-key rows on doc_b (carrying doc_a + text_a) for pass 2
+        docs_g = g[g["kind"] == 0][["k", "payload"]].rename(columns={"payload": "text_a"})
+        c = g[g["kind"] == 1][["k", "other"]]
+        if docs_g.empty or c.empty:
+            return _EMPTY_MERGE_FRAME.copy()
+        m = c.merge(docs_g, on="k", how="inner")
+        k2 = m["other"].to_numpy(dtype=np.int64)
         return pd.DataFrame({
-            "k": pd.Series(c["other"].to_numpy(), dtype="int64"),
-            "kind": pd.Series([1] * len(c), dtype="int8"),
-            "other": pd.Series(c["k"].to_numpy(), dtype="int64"),
-            "payload": pd.Series([doc.iloc[0]] * len(c), dtype="object"),
+            "k": pd.Series(k2, dtype="int64"),
+            "salt": pd.Series(_key_salt(k2), dtype="int64"),
+            "kind": pd.Series([1] * len(m), dtype="int8"),
+            "other": pd.Series(m["k"].to_numpy(), dtype="int64"),
+            "payload": pd.Series(m["text_a"].to_numpy(), dtype="object"),
         })
 
-    def verify_group(g: pd.DataFrame) -> pd.DataFrame:
-        doc = g.loc[g["kind"] == 0, "payload"]
+    def verify_partition(g: pd.DataFrame) -> pd.DataFrame:
+        docs_g = g[g["kind"] == 0][["k", "payload"]].rename(columns={"payload": "text_b"})
         c = g[g["kind"] == 1]
         a_out, b_out, j_out = [], [], []
-        if not doc.empty and not c.empty:
-            sb = _shingles(doc.iloc[0])
-            for b_key, a_id, text_a in zip(c["k"], c["other"], c["payload"]):
+        if not docs_g.empty and not c.empty:
+            m = c.merge(docs_g, on="k", how="inner")
+            sh_memo: dict = {}
+            for b_key, a_id, text_a, text_b in zip(
+                m["k"], m["other"], m["payload"], m["text_b"]
+            ):
                 sa = _shingles(text_a)
+                sb = sh_memo.get(b_key)
+                if sb is None:
+                    sb = sh_memo[b_key] = _shingles(text_b)
                 inter = len(sa & sb)
                 if inter == 0:
                     continue
@@ -367,8 +405,8 @@ def doc_minhash_pairs(sf_dir: str, verify_threshold_pct: int = 1) -> ray.data.Da
         })
 
     union_schema = pa.schema(
-        [("k", pa.int64()), ("kind", pa.int8()), ("other", pa.int64()),
-         ("payload", pa.string())]
+        [("k", pa.int64()), ("salt", pa.int64()), ("kind", pa.int8()),
+         ("other", pa.int64()), ("payload", pa.string())]
     )
 
     def to_arrow(batch: pa.Table) -> pa.Table:
@@ -382,12 +420,12 @@ def doc_minhash_pairs(sf_dir: str, verify_threshold_pct: int = 1) -> ray.data.Da
     cand_tagged = cand.map_batches(tag_cand, batch_format="pyarrow")
     with_a = (
         docs_tagged.union(cand_tagged)
-        .groupby("k")
+        .groupby("salt")
         .map_groups(attach_text_a, batch_format="pandas")
         .map_batches(to_arrow, batch_format="pyarrow")
     )
-    return docs_tagged.union(with_a).groupby("k").map_groups(
-        verify_group, batch_format="pandas"
+    return docs_tagged.union(with_a).groupby("salt").map_groups(
+        verify_partition, batch_format="pandas"
     )
 
 
@@ -673,47 +711,78 @@ _SESSION_GAP_US = 30 * 60 * 1_000_000
 _SESSION_BUCKET_US = 24 * 3600 * 1_000_000  # 1 day ≫ the 30-min gap
 
 
+def _user_hash_salt(users, mix: np.ndarray | None = None) -> np.ndarray:
+    """Deterministic salt for user keys (int64 multiply-hash),
+    optionally mixed with a second int key (bucket)."""
+    uh = np.asarray(users, dtype=np.int64).astype(np.uint64) * np.uint64(
+        0x9E3779B97F4A7C15
+    )
+    if mix is not None:
+        uh = uh ^ mix.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+    return ((uh >> np.uint64(17)) % np.uint64(_JOIN_SALTS)).astype(np.int64)
+
+
 def events_sessions(sf_dir: str) -> ray.data.Dataset:
     """Gap-based sessionization (30 min) per user — scale-safe two-phase:
 
-    Phase 1 groups on (user_id, day-bucket) and sessionizes within the
-    bucket; group size is bounded by one user-DAY of events, never a whole
-    user's history (a hot bot with 10^8 events spreads over ~10^8/days
-    buckets). Phase 2 merges bucket-boundary sessions per user; its input
-    is SESSION rows, bounded by bucket_len/gap = 48 rows per user-day
-    regardless of event volume (sessions within a bucket are separated by
-    > gap by construction). Interval-merging maximal within-bucket
-    sessions under the same gap rule is exactly event-level
-    sessionization: two adjacent sessions merge iff next.start − cur.end
-    ≤ gap, the same predicate the event-level pass applies at that
-    boundary."""
+    Phase 1 sessionizes within (user_id, day-bucket) cells so no step ever
+    holds a whole user's history (a hot bot with 10^8 events spreads over
+    its days); cells are processed in _JOIN_SALTS hash partitions (the
+    scale knob: ≈ 16-32 × cluster cores keeps a partition block-sized)
+    with a fully VECTORIZED multi-cell sessionizer inside. Phase 2 merges
+    bucket-boundary sessions per user; its input is SESSION rows, bounded
+    by bucket_len/gap = 48 rows per user-day regardless of event volume.
+    Interval-merging maximal within-bucket sessions under the same gap
+    rule is exactly event-level sessionization: two adjacent sessions
+    merge iff next.start − cur.end ≤ gap, the same predicate the
+    event-level pass applies at that boundary."""
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         ts_us = pc.cast(batch.column("ts"), pa.int64())
         bucket = pc.divide(ts_us, _SESSION_BUCKET_US)
+        salt = _user_hash_salt(np.asarray(batch.column("user_id")), np.asarray(bucket))
         return pa.Table.from_arrays(
-            [batch.column("user_id"), batch.column("ts"), bucket],
-            names=["user_id", "ts", "bucket"],
+            [batch.column("user_id"), batch.column("ts"), bucket, pa.array(salt)],
+            names=["user_id", "ts", "bucket", "salt"],
         )
 
     def bucket_sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts").reset_index(drop=True)
-        ts_us = g["ts"].astype("int64")
-        sess = (ts_us.diff().fillna(1 << 62) > _SESSION_GAP_US).cumsum()
-        out = g.groupby(sess).agg(
+        # vectorized over every (user, bucket) cell in this partition
+        g = g.sort_values(["user_id", "bucket", "ts"]).reset_index(drop=True)
+        ts_us = g["ts"].astype("int64").to_numpy()
+        u = g["user_id"].to_numpy()
+        b = g["bucket"].to_numpy()
+        brk = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            same_cell = (u[1:] == u[:-1]) & (b[1:] == b[:-1])
+            brk[1:] = ~(same_cell & ((ts_us[1:] - ts_us[:-1]) <= _SESSION_GAP_US))
+        sid = brk.cumsum()
+        out = g.groupby(sid).agg(
             user_id=("user_id", "first"), session_start=("ts", "min"),
             session_end=("ts", "max"), n_events=("ts", "count"),
         )
         out["n_events"] = out["n_events"].astype("int64")
         return out.reset_index(drop=True)
 
+    def add_user_salt(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.schema(
+                [("user_id", pa.int64()), ("session_start", pa.timestamp("us")),
+                 ("session_end", pa.timestamp("us")), ("n_events", pa.int64()),
+                 ("salt", pa.int64())]
+            ).empty_table()
+        users = np.asarray(batch.column("user_id"))
+        return batch.append_column("salt", pa.array(_user_hash_salt(users)))
+
     def merge_user_sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("session_start").reset_index(drop=True)
-        start_us = g["session_start"].astype("int64")
+        # vectorized over every user in this partition: per-user running
+        # max end, per-user shift, gap predicate
+        g = g.sort_values(["user_id", "session_start"]).reset_index(drop=True)
         end_us = g["session_end"].astype("int64")
-        # new session iff gap from the previous session's end exceeds gap
-        prev_end = end_us.cummax().shift(1)
+        cm = end_us.groupby(g["user_id"], sort=False).cummax()
+        prev_end = cm.groupby(g["user_id"], sort=False).shift(1)
+        start_us = g["session_start"].astype("int64")
         brk = (start_us - prev_end.fillna(-(1 << 62))) > _SESSION_GAP_US
         sid = brk.cumsum()
         out = g.groupby(sid).agg(
@@ -725,10 +794,14 @@ def events_sessions(sf_dir: str) -> ray.data.Dataset:
 
     part = (
         ev.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby(["user_id", "bucket"])
+        .groupby("salt")
         .map_groups(bucket_sessions, batch_format="pandas")
+        .map_batches(add_user_salt, batch_format="pyarrow")
     )
-    return part.groupby("user_id").map_groups(merge_user_sessions, batch_format="pandas")
+    return (
+        part.groupby("salt")
+        .map_groups(merge_user_sessions, batch_format="pandas")
+    )
 
 
 # --------------------------------------------------------------------------- #
@@ -1081,6 +1154,332 @@ def events_top_users(sf_dir: str, k: int = 20) -> ray.data.Dataset:
     part = ev.map_batches(partials, batch_format="pyarrow")
     agg = part.groupby("user_id").aggregate(Sum("n_events", alias_name="n_events"))
     return agg.sort(["n_events", "user_id"], descending=[True, False]).limit(k)
+
+
+# --------------------------------------------------------------------------- #
+# deterministic hash sampling — resumable, RNG-free corpus subsetting
+
+_SAMPLE_PCT = 10
+
+
+def doc_sample(sf_dir: str) -> ray.data.Dataset:
+    """Keep ~10% of documents by md5(doc_id) % 100 — the deterministic
+    sampling a resumable 100-TB pipeline uses instead of RNG state (same
+    rows on re-run, no coordination, SQL-reproducible)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        keep = [(_md5_u64(str(i)) % 100) < _SAMPLE_PCT for i in ids]
+        t = pa.Table.from_arrays(
+            [batch.column("doc_id"),
+             pc.cast(pc.utf8_length(batch.column("text")), pa.int64())],
+            names=["doc_id", "n_chars"],
+        )
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------- #
+# per-group top-k ranking (window-function analogue)
+
+def supplier_topk_per_nation(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """Top-k suppliers by account balance per nation: bounded
+    groupby(nation).map_groups ranking (25 groups × suppliers-per-nation;
+    at true scale this pre-filters with a per-batch partial top-k per
+    nation before the shuffle, same shape as emb_ann_topk)."""
+    s = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey", "s_acctbal"]
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch.column("s_nationkey"), batch.column("s_suppkey"),
+             _cents(batch.column("s_acctbal"))],
+            names=["s_nationkey", "s_suppkey", "bal_cents"],
+        )
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        # combine BEFORE the shuffle: only k rows per nation leave a batch
+        df = batch.to_pandas()
+        out = (
+            df.sort_values(["bal_cents", "s_suppkey"], ascending=[False, True])
+            .groupby("s_nationkey", sort=False)
+            .head(k)
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["bal_cents", "s_suppkey"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        return pd.DataFrame({
+            "s_nationkey": g["s_nationkey"],
+            "rank": pd.Series(np.arange(1, len(g) + 1), dtype="int64"),
+            "s_suppkey": g["s_suppkey"],
+            "bal_cents": g["bal_cents"],
+        })
+
+    part = s.map_batches(to_cents, batch_format="pyarrow").map_batches(
+        partial_topk, batch_format="pyarrow"
+    )
+    return part.groupby("s_nationkey").map_groups(final_topk, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------- #
+# anti-join (set difference) via reduce-side co-partitioned merge
+
+_ANTI_MONTH = ("1997-06-01", "1997-07-01")
+
+
+def customers_without_orders(sf_dir: str) -> ray.data.Dataset:
+    """Customers with zero orders in June 1995 (the inactive-cohort
+    anti-join): both sides hash-partition on salt(custkey) — orders
+    pre-deduped per batch so at most one row per (batch, custkey)
+    shuffles — and each bounded partition runs one vectorized isin
+    difference over all its keys."""
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+
+    def tag_cust(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch.column("c_custkey"), dtype=np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(k), pa.array(_key_salt(k)),
+             pa.array([0] * len(k), pa.int8())],
+            names=["k", "salt", "kind"],
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate")
+        lo = pa.scalar(np.datetime64(_ANTI_MONTH[0], "us"))
+        hi = pa.scalar(np.datetime64(_ANTI_MONTH[1], "us"))
+        keep = pc.and_(pc.greater_equal(d, lo), pc.less(d, hi))
+        uniq = pc.unique(batch.filter(keep).column("o_custkey"))
+        k = np.asarray(uniq, dtype=np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(k), pa.array(_key_salt(k)),
+             pa.array([1] * len(k), pa.int8())],
+            names=["k", "salt", "kind"],
+        )
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        have = g.loc[g["kind"] == 1, "k"].unique()
+        out = g.loc[(g["kind"] == 0) & ~g["k"].isin(have), "k"]
+        return pd.DataFrame({"c_custkey": pd.Series(out.to_numpy(), dtype="int64")})
+
+    both = cust.map_batches(tag_cust, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+    )
+    out_schema = pa.schema([("c_custkey", pa.int64())])
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return out_schema.empty_table()
+        return batch.select(out_schema.names).cast(out_schema)
+
+    return (
+        both.groupby("salt")
+        .map_groups(anti, batch_format="pandas")
+        .map_batches(stamp, batch_format="pyarrow")
+    )
+
+
+# --------------------------------------------------------------------------- #
+# distributed prefix sum: running per-user total ordered by time
+
+def events_user_cumsum(sf_dir: str) -> ray.data.Dataset:
+    """Cumulative value-cents per user ordered by ts — the distributed
+    prefix-sum pattern: (1) aggregate per distinct (user, ts) and cumsum
+    within each (user, day-bucket) cell; (2) per user, exclusive
+    prefix-sum the per-bucket totals (input bounded by #buckets, not
+    #events); (3) co-partitioned merge adds each bucket's offset back to
+    its rows. Rows are aggregated at (user, ts) so ties in ts can't make
+    the running total order-dependent. Every phase runs over _JOIN_SALTS
+    hash partitions with a vectorized multi-cell interior — per-group
+    Python dispatch is O(partitions)."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(batch.column("ts"), pa.int64())
+        bucket = pc.divide(ts_us, _SESSION_BUCKET_US)
+        salt = _user_hash_salt(np.asarray(batch.column("user_id")), np.asarray(bucket))
+        return pa.Table.from_arrays(
+            [batch.column("user_id"), batch.column("ts"), bucket,
+             _cents(batch.column("value")), pa.array(salt)],
+            names=["user_id", "ts", "bucket", "cents", "salt"],
+        )
+
+    def bucket_cumsum(g: pd.DataFrame) -> pd.DataFrame:
+        # all (user, bucket) cells of this partition, vectorized
+        per_ts = (
+            g.groupby(["user_id", "bucket", "ts"], sort=True)["cents"]
+            .sum()
+            .reset_index()
+        )
+        per_ts["in_bucket_cum"] = (
+            per_ts.groupby(["user_id", "bucket"], sort=False)["cents"].cumsum()
+        )
+        return pd.DataFrame({
+            "user_id": per_ts["user_id"],
+            "bucket": per_ts["bucket"].astype("int64"),
+            "ts": per_ts["ts"],
+            "in_bucket_cum": per_ts["in_bucket_cum"].astype("int64"),
+        })
+
+    rows_schema = pa.schema(
+        [("user_id", pa.int64()), ("bucket", pa.int64()),
+         ("ts", pa.timestamp("us")), ("in_bucket_cum", pa.int64())]
+    )
+
+    def rows_to_arrow(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return rows_schema.empty_table()
+        return batch.select(rows_schema.names).cast(rows_schema)
+
+    rows = (
+        ev.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("salt")
+        .map_groups(bucket_cumsum, batch_format="pandas")
+        .map_batches(rows_to_arrow, batch_format="pyarrow")
+    )
+
+    # per-bucket totals (partial per batch) -> per-user exclusive prefix
+    def bucket_totals(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        tot = df.groupby(["user_id", "bucket"], sort=False)["in_bucket_cum"].max().reset_index()
+        users = tot["user_id"].to_numpy(dtype=np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(users), pa.array(tot["bucket"], pa.int64()),
+             pa.array(tot["in_bucket_cum"], pa.int64()),
+             pa.array(_user_hash_salt(users))],
+            names=["user_id", "bucket", "total", "salt"],
+        )
+
+    def user_offsets(g: pd.DataFrame) -> pd.DataFrame:
+        # all users of this partition, vectorized per-user prefix
+        t = g.sort_values(["user_id", "bucket"]).reset_index(drop=True)
+        cum = t.groupby("user_id", sort=False)["total"].cumsum()
+        off = (cum - t["total"]).astype("int64")  # exclusive prefix
+        users = t["user_id"].to_numpy(dtype=np.int64)
+        buckets = t["bucket"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "user_id": t["user_id"],
+            "bucket": pd.Series(buckets, dtype="int64"),
+            "offset": off,
+            "salt2": pd.Series(
+                _user_hash_salt(users, buckets), dtype="int64"
+            ),
+        })
+
+    off_schema = pa.schema(
+        [("user_id", pa.int64()), ("bucket", pa.int64()), ("offset", pa.int64()),
+         ("salt2", pa.int64())]
+    )
+
+    def off_to_arrow(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return off_schema.empty_table()
+        return batch.select(off_schema.names).cast(off_schema)
+
+    offsets = (
+        rows.map_batches(bucket_totals, batch_format="pyarrow")
+        .groupby("salt")
+        .map_groups(user_offsets, batch_format="pandas")
+        .map_batches(off_to_arrow, batch_format="pyarrow")
+    )
+
+    # merge offset into rows, co-partitioned on salt(user, bucket)
+    def tag_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        salt = _user_hash_salt(
+            np.asarray(batch.column("user_id")), np.asarray(batch.column("bucket"))
+        )
+        return pa.Table.from_arrays(
+            [batch.column("user_id"), batch.column("bucket"), pa.array(salt),
+             pa.array([0] * n, pa.int8()), batch.column("ts"),
+             batch.column("in_bucket_cum")],
+            names=["user_id", "bucket", "salt", "kind", "ts", "val"],
+        )
+
+    def tag_offsets(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [batch.column("user_id"), batch.column("bucket"),
+             batch.column("salt2"), pa.array([1] * n, pa.int8()),
+             pa.nulls(n, pa.timestamp("us")), batch.column("offset")],
+            names=["user_id", "bucket", "salt", "kind", "ts", "val"],
+        )
+
+    def add_offset(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized merge over all (user, bucket) cells of the partition
+        off = g[g["kind"] == 1][["user_id", "bucket", "val"]].rename(
+            columns={"val": "offset"}
+        )
+        r = g[g["kind"] == 0]
+        if r.empty:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "ts": pd.Series([], dtype="datetime64[us]"),
+                "cum_cents": pd.Series([], dtype="int64"),
+            })
+        m = r.merge(off, on=["user_id", "bucket"], how="left")
+        return pd.DataFrame({
+            "user_id": m["user_id"],
+            "ts": m["ts"],
+            "cum_cents": (m["val"] + m["offset"].fillna(0)).astype("int64"),
+        })
+
+    both = rows.map_batches(tag_rows, batch_format="pyarrow").union(
+        offsets.map_batches(tag_offsets, batch_format="pyarrow")
+    )
+    return both.groupby("salt").map_groups(add_offset, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------- #
+# exact quantiles from a distributed value histogram (no global sort)
+
+_QUANTILES = (50, 90, 99)
+
+
+def events_value_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """p50/p90/p99 of value-cents per event_type, EXACTLY, without a
+    global sort: per-batch (event_type, cents) partial counts → groupby
+    sum (histogram; bounded by distinct cents per type) → per-type
+    quantile walk over the sorted histogram. Matches DuckDB quantile_disc
+    (element at index ceil(q·n)−1)."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_arrays(
+            [batch.column("event_type"), _cents(batch.column("value"))],
+            names=["event_type", "cents"],
+        )
+        g = t.group_by(["event_type", "cents"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "cents", "n"])
+
+    hist = (
+        ev.map_batches(partials, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("cents").reset_index(drop=True)
+        counts = g["n"].to_numpy()
+        cum = counts.cumsum()
+        n = int(cum[-1])
+        out = {"event_type": [g["event_type"].iloc[0]]}
+        for q in _QUANTILES:
+            idx = max(0, -(-q * n // 100) - 1)  # ceil(q*n/100) - 1
+            pos = int(np.searchsorted(cum, idx + 1))
+            out[f"p{q}_cents"] = [int(g["cents"].iloc[pos])]
+        df = pd.DataFrame(out)
+        for q in _QUANTILES:
+            df[f"p{q}_cents"] = df[f"p{q}_cents"].astype("int64")
+        return df
+
+    return hist.groupby("event_type").map_groups(quantiles, batch_format="pandas")
 
 
 # --------------------------------------------------------------------------- #

@@ -24,6 +24,11 @@ SQL_QUERIES = [
     "emb_neardup_pairs",
     "events_window",
     "events_sessions",
+    "events_user_cumsum",
+    "events_value_quantiles",
+    "doc_sample",
+    "supplier_topk_per_nation",
+    "customers_without_orders",
     "lineitem_pricing",
     "orders_by_nation",
     "part_topk",
@@ -126,8 +131,9 @@ def test_charlm_ppl(ray_session):
 
 def test_minhash_no_driver_materialization(ray_session, monkeypatch):
     """The scale-safe minhash path must never pull a dataset onto the
-    driver: candidate verification is a co-partitioned Dataset.join, not a
-    broadcast of driver-materialized shingle sets (VERDICT r1 §wrong #1)."""
+    driver: candidate verification is a reduce-side co-partitioned merge,
+    not a broadcast of driver-materialized shingle sets (VERDICT r1
+    §wrong #1)."""
     import ray.data
     from lingvo__postagger_ner_ru_dnn_ray.stages.dataops import doc_minhash_pairs
 
@@ -141,8 +147,8 @@ def test_minhash_no_driver_materialization(ray_session, monkeypatch):
 
 def test_sessions_extreme_skew(ray_session, tmp_path):
     """One bot user with ~50% of all events across many days: the two-phase
-    sessionizer groups on (user, day-bucket) so no single-user frame is
-    ever built; output must still equal event-level sessionization."""
+    sessionizer works on (user, day-bucket) cells in salted partitions so
+    no single-user frame is ever built; output must still equal event-level sessionization."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -157,13 +163,13 @@ def test_sessions_extreme_skew(ray_session, tmp_path):
     gaps[rng.choice(np.arange(1, n_bot), 5, replace=False)] = 45 * 60_000_000
     bot_ts = base + np.cumsum(gaps)
     # 50 normal users with sparse events
-    users, tss = ["bot"] * n_bot, list(bot_ts)
-    for u in range(50):
+    users, tss = [0] * n_bot, list(bot_ts)  # user 0 is the bot
+    for u in range(1, 51):
         for e in range(rng.randint(3, 15)):
-            users.append(f"u{u}")
+            users.append(u)
             tss.append(base + rng.randint(0, 12 * day))
     tbl = pa.table({
-        "user_id": pa.array(users),
+        "user_id": pa.array(users, pa.int64()),
         "ts": pa.array(np.array(tss, dtype="int64"), pa.timestamp("us")),
     })
     pq.write_table(tbl, tmp_path / "events.parquet")
@@ -183,7 +189,7 @@ def test_sessions_extreme_skew(ray_session, tmp_path):
     assert len(g) == len(w)
     assert g.equals(w) or g.astype(str).equals(w.astype(str))
     # the bot's continuous run must survive all bucket-boundary merges
-    bot = got[got["user_id"] == "bot"]
+    bot = got[got["user_id"] == 0]
     assert len(bot) == 6  # 5 breaks -> 6 sessions
     assert int(bot["n_events"].sum()) == n_bot
 

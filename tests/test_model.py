@@ -128,3 +128,19 @@ def test_ensure_default_artifacts_idempotent(tmp_path):
     assert (tmp_path / "models" / "pos.npz").stat().st_mtime_ns == m1  # no rewrite
     pos, ner = load_taggers(d1)
     assert pos.max_ending_length == 4 and ner.max_ending_length == 10000
+
+
+def test_topk_class_probs():
+    """Class-probability ranking per token (SeqLabel.cs:205-213) — top-1
+    must agree with argmax predict, probs sorted desc and sum≈softmax."""
+    pos, _ = taggers()
+    toks = list(pos_token_label())[:20]
+    ranked = pos.topk_class_probs([toks], k=3)[0]
+    argmax = pos.predict_batch([toks])[0]
+    assert len(ranked) == len(toks)
+    for token_ranks, top_label in zip(ranked, argmax):
+        labels = [l for l, _ in token_ranks]
+        probs = [p for _, p in token_ranks]
+        assert labels[0] == top_label
+        assert probs == sorted(probs, reverse=True)
+        assert 0.0 < probs[0] <= 1.0
