@@ -191,6 +191,12 @@ def _media_features(sf_dir: str):
     return media_features(sf_dir)
 
 
+def _media_stats(sf_dir: str):
+    from lingvo__postagger_ner_ru_dnn_ray.stages.multimodal import media_stats
+
+    return media_stats(sf_dir)
+
+
 def _ivf_dir(sf_dir: str) -> str:
     """Deterministic materialization path for the IVF result at this scale
     (shared by the emb_ann_ivf_recall query and its SQL oracle)."""
@@ -236,6 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_neardup_pairs": d.emb_neardup_pairs,
         # --- multimodal plumbing (stub codec; rows-only check)
         "media_features": _media_features,
+        "media_stats": _media_stats,
         # --- event-stream windowing
         "events_window": d.events_window,
         "events_sessions": d.events_sessions,
@@ -455,4 +462,10 @@ def oracle_sql() -> dict[str, str]:
     ivf_path = _ivf_dir(sf)
     emb_ann_ivf_recall(sf, ivf_path=ivf_path).count()  # materialize once
     sql["emb_ann_ivf_recall"] = ann_ivf_recall_oracle_sql(ivf_path)
+    from lingvo__postagger_ner_ru_dnn_ray.stages.multimodal import (
+        ensure_media_parquet,
+        media_stats_oracle_sql,
+    )
+
+    sql["media_stats"] = media_stats_oracle_sql(ensure_media_parquet(sf))
     return sql

@@ -201,15 +201,14 @@ def run_kg_job(
     # write triples once; aggregate edges from the written Parquet; derive
     # nodes from the (already aggregated, small) edges table — each triple
     # contributes 1 to each endpoint, so per-endpoint sum of edge weights
-    # equals conflate_nodes over the raw triples (one fewer full pass).
-    # The aggregated edge table is SMALL (one row per distinct edge key),
-    # so materialize it once and feed both the edge write and the node
-    # derivation from memory instead of a third read-from-disk execution.
+    # equals conflate_nodes over the raw triples (one fewer full pass)
     triples.write_parquet(out["triples"], partition_cols=["part"])
     tri_written = ray.data.read_parquet(out["triples"])
-    edges = conflate_edges(tri_written, extra_keys=["part"]).materialize()
-    edges.write_parquet(out["edges"], partition_cols=["part"])
-    nodes_from_edges(edges, extra_keys=["part"]).write_parquet(
+    conflate_edges(tri_written, extra_keys=["part"]).write_parquet(
+        out["edges"], partition_cols=["part"]
+    )
+    edges_written = ray.data.read_parquet(out["edges"])
+    nodes_from_edges(edges_written, extra_keys=["part"]).write_parquet(
         out["nodes"], partition_cols=["part"]
     )
 

@@ -113,6 +113,69 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
     )
 
 
+def ensure_media_parquet(sf_dir: str, base: str = "/tmp/graft_data") -> str:
+    """Materialize the deterministic media table once per scale so the
+    Ray pipeline and the SQL oracle read the identical binary payloads."""
+    import os
+
+    from ..sources.transcripts import sf_of_dir
+
+    n = max(60, int(6_000 * sf_of_dir(sf_dir)))
+    path = f"{base}/media_n{n}.parquet"
+    if not os.path.exists(path):
+        import pyarrow.parquet as pq
+
+        os.makedirs(base, exist_ok=True)
+        tmp = path + ".tmp"
+        pq.write_table(synth_media_table(n), tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def media_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-type payload statistics straight off the binary column —
+    partial Arrow aggregation (count/sum/min/max of octet length) per
+    batch, tiny final groupby. Exercises the binary-column path end to
+    end with a value-checkable SQL oracle (octet_length), unlike the
+    stub-codec features which are rows-only by design."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    path = ensure_media_parquet(sf_dir)
+    ds = ray.data.read_parquet(path, columns=["media_type", "payload"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_arrays(
+            [batch.column("media_type"),
+             pc.cast(pc.binary_length(batch.column("payload")), pa.int64())],
+            names=["media_type", "n_bytes"],
+        )
+        g = t.group_by(["media_type"]).aggregate(
+            [([], "count_all"), ("n_bytes", "sum"), ("n_bytes", "min"), ("n_bytes", "max")]
+        )
+        return g.rename_columns(
+            ["media_type", "n_items", "sum_bytes", "min_bytes", "max_bytes"]
+        )
+
+    part = ds.map_batches(partials, batch_format="pyarrow")
+    return part.groupby("media_type").aggregate(
+        Sum("n_items", alias_name="n_items"),
+        Sum("sum_bytes", alias_name="sum_bytes"),
+        Min("min_bytes", alias_name="min_bytes"),
+        Max("max_bytes", alias_name="max_bytes"),
+    )
+
+
+def media_stats_oracle_sql(path: str) -> str:
+    return (
+        "SELECT media_type, count(*)::BIGINT AS n_items, "
+        "sum(octet_length(payload))::BIGINT AS sum_bytes, "
+        "min(octet_length(payload))::BIGINT AS min_bytes, "
+        "max(octet_length(payload))::BIGINT AS max_bytes "
+        f"FROM read_parquet('{path}') GROUP BY media_type"
+    )
+
+
 def media_features(sf_dir: str) -> ray.data.Dataset:
     """Query entry: synthesize a deterministic media table scaled like the
     driver tables and run the decode actor pool over it (rows-only check:

@@ -49,3 +49,24 @@ def test_tagged_lines():
 def test_validation_lines():
     s = validation_lines(["a", "b"], ["O", "B-LOC"], ["O", "O"])
     assert s == "src: a b\nref: O B-LOC\nhyp: O O\n"
+
+
+def test_media_stats_vs_sql(ray_session, tmp_path):
+    """Binary-column statistics hash-check: Arrow binary_length partials
+    vs DuckDB octet_length over the identical materialized payloads."""
+    import duckdb
+    from lingvo__postagger_ner_ru_dnn_ray.stages.multimodal import (
+        ensure_media_parquet,
+        media_stats,
+        media_stats_oracle_sql,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    got = media_stats(SF).to_pandas().sort_values("media_type").reset_index(drop=True)
+    want = (
+        duckdb.sql(media_stats_oracle_sql(ensure_media_parquet(SF)))
+        .df()
+        .sort_values("media_type")
+        .reset_index(drop=True)
+    )
+    assert got[want.columns.tolist()].equals(want)
