@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_exact": d.doc_dedup_exact,
         "doc_jaccard_pairs": d.doc_jaccard_pairs,
         "doc_minhash_pairs": d.doc_minhash_pairs,
+        "doc_dedup_minhash": d.doc_dedup_minhash,
         "doc_simhash": d.doc_simhash,
         "doc_fingerprint": d.doc_fingerprint,
         # --- text analysis
@@ -245,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_stats": _media_stats,
         # --- event-stream windowing
         "events_window": d.events_window,
+        "events_window_sliding": d.events_window_sliding,
         "events_sessions": d.events_sessions,
         "events_user_cumsum": d.events_user_cumsum,
         "events_value_quantiles": d.events_value_quantiles,
@@ -254,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": d.customers_without_orders,
         # --- relational basics
         "lineitem_pricing": d.lineitem_pricing,
+        "lineitem_rollup": d.lineitem_rollup,
         "orders_by_nation": d.orders_by_nation,
         "part_topk": d.part_topk,
         "supplier_stats": d.supplier_stats,
@@ -286,6 +289,28 @@ def _dataops_sql() -> dict[str, str]:
 
     return {
         "doc_minhash_pairs": d.minhash_oracle_sql(),
+        "doc_dedup_minhash": d.dedup_minhash_oracle_sql(),
+        "events_window_sliding": (
+            "WITH x AS (SELECT event_type, epoch_us(ts) AS t, "
+            "cast(round(value*100) AS BIGINT) AS cents FROM events), "
+            "w AS (SELECT event_type, "
+            "((t // 900000000) * 900000000 - i * 900000000) AS ws, cents "
+            "FROM x, generate_series(0, 3) g(i)) "
+            "SELECT event_type, make_timestamp(ws) AS window_start, "
+            "sum(cents)::BIGINT AS sum_cents, count(*)::BIGINT AS n_events "
+            "FROM w GROUP BY event_type, ws"
+        ),
+        "lineitem_rollup": (
+            "SELECT 0::BIGINT AS level, l_returnflag, l_linestatus, "
+            "sum(cast(round(l_extendedprice*100) AS BIGINT))::BIGINT AS sum_cents, "
+            "count(*)::BIGINT AS n_rows FROM lineitem GROUP BY l_returnflag, l_linestatus "
+            "UNION ALL SELECT 1, l_returnflag, '(all)', "
+            "sum(cast(round(l_extendedprice*100) AS BIGINT))::BIGINT, count(*)::BIGINT "
+            "FROM lineitem GROUP BY l_returnflag "
+            "UNION ALL SELECT 2, '(all)', '(all)', "
+            "sum(cast(round(l_extendedprice*100) AS BIGINT))::BIGINT, count(*)::BIGINT "
+            "FROM lineitem"
+        ),
         "doc_simhash": d.SIMHASH_ORACLE_SQL,
         "doc_fingerprint": d.FINGERPRINT_ORACLE_SQL,
         "doc_charlm_ppl": d.CHARLM_ORACLE_SQL,

@@ -65,12 +65,11 @@ def doc_token_count(sf_dir: str) -> ray.data.Dataset:
     def fn(batch: pa.Table) -> pa.Table:
         toks = pc.split_pattern(batch.column("text"), " ")
         n_ws = pc.list_value_length(toks)
-        # BPE-ish regex token count (words + isolated non-word chars)
-        import re
-
-        rx = re.compile(r"\w+|[^\w\s]")
-        n_rx = pa.array(
-            [len(rx.findall(t)) for t in batch.column("text").to_pylist()], pa.int64()
+        # BPE-ish regex token count (words + isolated non-word chars) —
+        # Arrow's RE2 kernel, the same engine the DuckDB oracle uses
+        # (Python re's Unicode \w would diverge on non-ASCII text)
+        n_rx = pc.cast(
+            pc.count_substring_regex(batch.column("text"), r"\w+|[^\w\s]"), pa.int64()
         )
         return pa.Table.from_arrays(
             [batch.column("doc_id"), pc.cast(n_ws, pa.int64()), n_rx,
@@ -1154,6 +1153,160 @@ def events_top_users(sf_dir: str, k: int = 20) -> ray.data.Dataset:
     part = ev.map_batches(partials, batch_format="pyarrow")
     agg = part.groupby("user_id").aggregate(Sum("n_events", alias_name="n_events"))
     return agg.sort(["n_events", "user_id"], descending=[True, False]).limit(k)
+
+
+_DEDUP_KEEP_THRESHOLD = 50  # jaccard % above which doc_b is dropped
+
+
+def doc_dedup_minhash(sf_dir: str) -> ray.data.Dataset:
+    """End-to-end near-duplicate REMOVAL (the operation a training-data
+    pipeline actually runs, not just the pair listing): verified MinHash
+    pairs at ≥50 % Jaccard mark their doc_b for dropping; the keep-list is
+    the salted reduce-side anti-join of all doc ids against the drop set.
+    Keeps the lower doc_id of each near-dup pair (and of chains, every
+    doc that is never a doc_b)."""
+    pairs = doc_minhash_pairs(sf_dir)
+
+    def drops(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                 pa.array([], pa.int8())],
+                names=["k", "salt", "kind"],
+            )
+        keep = pc.greater_equal(batch.column("jaccard_pct"), _DEDUP_KEEP_THRESHOLD)
+        k = np.unique(np.asarray(batch.filter(keep).column("doc_b"), dtype=np.int64))
+        return pa.Table.from_arrays(
+            [pa.array(k), pa.array(_key_salt(k)), pa.array([1] * len(k), pa.int8())],
+            names=["k", "salt", "kind"],
+        )
+
+    def tag_ids(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(k), pa.array(_key_salt(k)), pa.array([0] * len(k), pa.int8())],
+            names=["k", "salt", "kind"],
+        )
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        dropped = g.loc[g["kind"] == 1, "k"].unique()
+        out = g.loc[(g["kind"] == 0) & ~g["k"].isin(dropped), "k"]
+        return pd.DataFrame({"doc_id": pd.Series(np.sort(out.to_numpy()), dtype="int64")})
+
+    ids = _docs(sf_dir, ["doc_id"]).map_batches(tag_ids, batch_format="pyarrow")
+    both = ids.union(pairs.map_batches(drops, batch_format="pyarrow"))
+    out_schema = pa.schema([("doc_id", pa.int64())])
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return out_schema.empty_table()
+        return batch.select(out_schema.names).cast(out_schema)
+
+    return (
+        both.groupby("salt")
+        .map_groups(anti, batch_format="pandas")
+        .map_batches(stamp, batch_format="pyarrow")
+    )
+
+
+def dedup_minhash_oracle_sql() -> str:
+    return (
+        "SELECT doc_id FROM documents WHERE doc_id NOT IN ("
+        f"SELECT doc_b FROM ({minhash_oracle_sql()}) "
+        f"WHERE jaccard_pct >= {_DEDUP_KEEP_THRESHOLD})"
+    )
+
+
+# --------------------------------------------------------------------------- #
+# sliding (hopping) windows — each event lands in window_len/hop windows
+
+_SLIDE_WINDOW_US = 3600 * 1_000_000
+_SLIDE_HOP_US = 900 * 1_000_000  # 15 min -> 4 windows per event
+
+
+def events_window_sliding(sf_dir: str) -> ray.data.Dataset:
+    """1-hour windows hopping every 15 min per event_type: map_batches
+    REPLICATES each event into its window_len/hop = 4 windows (vectorized
+    repeat + offset arithmetic), partial-aggregates per batch, then a
+    small groupby — the standard stream-processing hop expansion with the
+    combine still ahead of the shuffle."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+    k = _SLIDE_WINDOW_US // _SLIDE_HOP_US
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ts_us = np.asarray(pc.cast(batch.column("ts"), pa.int64()))
+        cents = np.asarray(_cents(batch.column("value")))
+        types = batch.column("event_type").to_pylist()
+        # window starts: the k hop-aligned starts whose window covers ts
+        base = (ts_us // _SLIDE_HOP_US) * _SLIDE_HOP_US
+        offs = (np.arange(k, dtype=np.int64) * _SLIDE_HOP_US)[None, :]
+        starts = (base[:, None] - offs).reshape(-1)  # [n*k]
+        t = pa.Table.from_arrays(
+            [pa.array(np.repeat(np.array(types, dtype=object), k)),
+             pa.array(starts, pa.int64()),
+             pa.array(np.repeat(cents, k), pa.int64())],
+            names=["event_type", "window_start_us", "cents"],
+        )
+        g = t.group_by(["event_type", "window_start_us"]).aggregate(
+            [("cents", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["event_type", "window_start_us", "sum_cents", "n_events"])
+
+    part = ev.map_batches(partials, batch_format="pyarrow")
+    agg = part.groupby(["event_type", "window_start_us"]).aggregate(
+        Sum("sum_cents", alias_name="sum_cents"), Sum("n_events", alias_name="n_events")
+    )
+
+    def to_ts(batch: pa.Table) -> pa.Table:
+        ws = pc.cast(batch.column("window_start_us"), pa.timestamp("us"))
+        return pa.Table.from_arrays(
+            [batch.column("event_type"), ws, batch.column("sum_cents"),
+             batch.column("n_events")],
+            names=["event_type", "window_start", "sum_cents", "n_events"],
+        )
+
+    return agg.map_batches(to_ts, batch_format="pyarrow")
+
+
+def lineitem_rollup(sf_dir: str) -> ray.data.Dataset:
+    """GROUPING-SETS rollup: (returnflag, linestatus) → (returnflag) →
+    grand total, all emitted from ONE pass — each batch pre-aggregates
+    every grouping level locally (the level id disambiguates), so the
+    shuffle carries three tiny partial tables instead of three scans."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_linestatus", "l_extendedprice"]
+    )
+    ALL = "(all)"
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_arrays(
+            [batch.column("l_returnflag"), batch.column("l_linestatus"),
+             _cents(batch.column("l_extendedprice"))],
+            names=["l_returnflag", "l_linestatus", "cents"],
+        )
+        outs = []
+        for lvl, keys in ((0, ["l_returnflag", "l_linestatus"]), (1, ["l_returnflag"]), (2, [])):
+            if keys:
+                g = t.group_by(keys).aggregate([("cents", "sum"), ([], "count_all")])
+                g = g.rename_columns(keys + ["sum_cents", "n_rows"])
+            else:
+                g = pa.Table.from_arrays(
+                    [pa.array([int(pc.sum(t.column("cents")).as_py() or 0)], pa.int64()),
+                     pa.array([t.num_rows], pa.int64())],
+                    names=["sum_cents", "n_rows"],
+                )
+            n = g.num_rows
+            for col in ("l_returnflag", "l_linestatus"):
+                if col not in g.column_names:
+                    g = g.append_column(col, pa.array([ALL] * n, pa.string()))
+            g = g.append_column("level", pa.array([lvl] * n, pa.int64()))
+            outs.append(g.select(["level", "l_returnflag", "l_linestatus", "sum_cents", "n_rows"]))
+        return pa.concat_tables(outs)
+
+    part = li.map_batches(partials, batch_format="pyarrow")
+    return part.groupby(["level", "l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_cents", alias_name="sum_cents"), Sum("n_rows", alias_name="n_rows")
+    )
 
 
 # --------------------------------------------------------------------------- #

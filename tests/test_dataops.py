@@ -12,6 +12,7 @@ SQL_QUERIES = [
     "doc_dedup_exact",
     "doc_jaccard_pairs",
     "doc_minhash_pairs",
+    "doc_dedup_minhash",
     "doc_simhash",
     "doc_fingerprint",
     "doc_token_count",
@@ -23,6 +24,7 @@ SQL_QUERIES = [
     "emb_ann_topk",
     "emb_neardup_pairs",
     "events_window",
+    "events_window_sliding",
     "events_sessions",
     "events_user_cumsum",
     "events_value_quantiles",
@@ -30,6 +32,7 @@ SQL_QUERIES = [
     "supplier_topk_per_nation",
     "customers_without_orders",
     "lineitem_pricing",
+    "lineitem_rollup",
     "orders_by_nation",
     "part_topk",
     "supplier_stats",
