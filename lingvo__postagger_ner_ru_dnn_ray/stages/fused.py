@@ -4,23 +4,35 @@ actor-pool ``map_batches``.
 The modular stages (stages/tokenize|tag|triples|linking) are composable
 and individually testable, but chaining them as separate operators splits
 the cluster between an actor pool and task pools — whichever side is
-under-provisioned becomes the bottleneck. Since every step after the read
-is a pure per-turn function, fusing them into one callable class lets the
-single actor pool own all CPUs minus the read/sort/write tasks, which is
-what a 256-node deployment would run.
+under-provisioned becomes the bottleneck — and pays an Arrow↔Python
+round-trip at every stage boundary (tokenize builds list columns that tag
+immediately to_pylist()s, tag appends label columns that triples
+to_pylist()s again). Since every step after the read is a pure per-turn
+function, the fused stage runs the whole chain over PYTHON structures and
+builds ONE Arrow table at the end.
 
-Equivalence with the modular chain is BY CONSTRUCTION (the fused __call__
-invokes the exact same stage callables) and asserted in
-tests/test_pipeline_ray.py::test_fused_equals_modular.
+Equivalence with the modular chain is asserted in
+tests/test_pipeline_ray.py::test_fused_equals_modular (both paths must
+equal the single-process oracle) and
+tests/test_pipeline_ray.py::test_deep_fused_equals_modular_chain.
 """
 from __future__ import annotations
 
 import pyarrow as pa
 
-from .linking import LinkerStage
-from .tag import TaggerStage
+from .linking import NIL, LinkerStage, normalize_surface
+from .tag import TaggerStage, _correct_pos, _model_token_cached
 from .tokenize import tokenize_batch
-from .triples import triples_batch
+from .triples import TRIPLE_SCHEMA, extract_sentence_triples
+from ..textkit.tokenizer import tokenize_text
+
+_OUT_NAMES = list(TRIPLE_SCHEMA.names) + [
+    "subj_id", "subj_canon", "obj_id", "obj_canon"
+]
+_OUT_SCHEMA = pa.schema(
+    list(TRIPLE_SCHEMA)
+    + [pa.field(n, pa.string()) for n in ("subj_id", "subj_canon", "obj_id", "obj_canon")]
+)
 
 
 class KgStage:
@@ -31,11 +43,68 @@ class KgStage:
         self.tagger = TaggerStage(artifact_dir=artifact_dir)
         self.linker = LinkerStage(dict_ref=dict_ref, columns=("subj", "obj"))
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def call_modular(self, batch: pa.Table) -> pa.Table:
+        """The stage-by-stage composition — the reference implementation
+        the deep-fused path is tested against."""
+        from .triples import triples_batch
+
         sents = tokenize_batch(batch)
         tagged = self.tagger(sents)
         triples = triples_batch(tagged)
         return self.linker(triples)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        conv = batch.column("conv_id").to_pylist()
+        turn = batch.column("turn_idx").to_pylist()
+        text = batch.column("text").to_pylist()
+
+        # tokenize every turn; keep Python Word lists (no Arrow round-trip)
+        sent_meta: list[tuple] = []
+        sent_words: list[list] = []
+        for c, t, x in zip(conv, turn, text):
+            if not x:
+                continue
+            for si, words in enumerate(tokenize_text(x)):
+                sent_meta.append((c, t, si))
+                sent_words.append(words)
+
+        mt = _model_token_cached
+        pos_in = [[mt(w.value, w.input_type, 4) for w in ws] for ws in sent_words]
+        ner_in = [[mt(w.value, w.input_type, 10000) for w in ws] for ws in sent_words]
+        pos_raw = self.tagger.pos_model.predict_batch(pos_in)
+        ner_raw = self.tagger.ner_model.predict_batch(ner_in)
+
+        cols: dict[str, list] = {n: [] for n in _OUT_NAMES}
+        lookup = self.linker.lookup
+        for (c, t, si), words, praw, nraw in zip(sent_meta, sent_words, pos_raw, ner_raw):
+            input_types = [w.input_type for w in words]
+            extras = [w.extra for w in words]
+            pos = _correct_pos(input_types, extras, praw)
+            ner = nraw + ["O"] * (len(words) - len(nraw)) if len(nraw) < len(words) else nraw
+            vals = [w.value for w in words]
+            starts = [w.start for w in words]
+            lens = [w.length for w in words]
+            for ti, tup in enumerate(
+                extract_sentence_triples(vals, starts, lens, pos, ner)
+            ):
+                cols["conv_id"].append(c)
+                cols["turn_idx"].append(t)
+                cols["sent_idx"].append(si)
+                cols["triple_idx"].append(ti)
+                for name, v in zip(TRIPLE_SCHEMA.names[4:], tup):
+                    cols[name].append(v)
+                for side in ("subj", "obj"):
+                    surface = tup[0] if side == "subj" else tup[3]
+                    hit = lookup.get(normalize_surface(surface))
+                    if hit is None:
+                        cols[f"{side}_id"].append(NIL)
+                        cols[f"{side}_canon"].append(normalize_surface(surface))
+                    else:
+                        cols[f"{side}_id"].append(hit[0])
+                        cols[f"{side}_canon"].append(hit[1])
+        return pa.Table.from_arrays(
+            [pa.array(cols[f.name], f.type) for f in _OUT_SCHEMA], schema=_OUT_SCHEMA
+        )
 
 
 _FUSED_SINGLETON: KgStage | None = None

@@ -159,19 +159,35 @@ def split_sents_simple(text: str, u16=None, urls: list[UrlSpan] | None = None) -
                 return i
             i += 1
 
+    # sentence-relevant chars ('.', '…', '?', '!') are sparse — one
+    # vectorized scan finds them all and the FSM jumps between hits
+    # instead of visiting every character. URL spans are consumed lazily
+    # at the first hit at-or-after their start (same relative order as
+    # the char-by-char scanner: a span is folded into whatever sentence
+    # is open when the scanner passes it).
+    import numpy as np
+
+    scs = xlat.SENTCHARTYPE[u]
+    hits = np.nonzero(
+        (scs & (xlat.SC_DOT | xlat.SC_EXCLUDE_IN_BRACKET_AND_QUOTE)) != 0
+    )[0].tolist()
+
     i = 0
-    while True:
-        if next_url_start <= i:
+    for p in hits:
+        if p < i:
+            continue
+        while next_url_start <= p:
             us = urls[url_idx]
             cur_urls.append(us)
-            i = us.start + us.length
             url_idx += 1
             next_url_start = urls[url_idx].start if url_idx < len(urls) else 1 << 60
-            continue
-        c = ch(i)
-        if c == 0:
-            break
-        sct = (_SC[c])
+            url_end = us.start + us.length
+            if i < url_end:
+                i = url_end
+        if p < i:
+            continue  # hit lies inside a URL span
+        i = p
+        sct = _SC[ul[i]]
         if sct & xlat.SC_DOT:
             ok, i2 = try_skip_ws_until_crlf_or_eof(i)
             if ok:
@@ -192,6 +208,11 @@ def split_sents_simple(text: str, u16=None, urls: list[UrlSpan] | None = None) -
             i += 1
             continue
         i += 1
+
+    # URL spans past the last hit belong to the final (unemitted) sentence
+    while url_idx < len(urls):
+        cur_urls.append(urls[url_idx])
+        url_idx += 1
 
     emit(n)
     return sents

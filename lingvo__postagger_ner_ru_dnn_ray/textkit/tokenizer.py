@@ -82,12 +82,16 @@ _TOKEN_MEMO_MAX = 1_000_000
 class _SentTokenizer:
     __slots__ = (
         "u", "ul", "n", "s", "end", "words", "start_index", "cur_len",
-        "is_prev_num", "last_num", "replace_nums", "dot_variant",
+        "is_prev_num", "last_num", "replace_nums", "dot_variant", "cts", "sps",
     )
 
     def __init__(self, u16, replace_nums: bool, dot_variant: str = "simple"):
         self.u = u16
         self.ul = u16.tolist()  # per-char access path
+        # one vectorized LUT gather per text replaces two Python LUT
+        # indexes per character inside the scan loops
+        self.cts = xlat.CHARTYPE[u16].tolist()
+        self.sps = xlat.SPECTYPE[u16].tolist()
         self.n = len(u16)
         self.replace_nums = replace_nums
         # "simple": always unstick dots (WebService path, Tokenizer.cs:732-744)
@@ -102,9 +106,9 @@ class _SentTokenizer:
     def _is_num_token(self, start: int, length: int) -> bool:
         has_digits = False
         ul = self.ul
+        cts = self.cts
         for k in range(start, start + length):
-            c = ul[k]
-            ct = _CT[c]
+            ct = cts[k]
             if ct & xlat.IS_DIGIT:
                 has_digits = True
                 continue
@@ -162,18 +166,17 @@ class _SentTokenizer:
         self.cur_len = 1
         i += 1
         ws_len = 0
+        ul, cts, sps = self.ul, self.cts, self.sps
         while i <= end:
-            c = self.ch(i)
-            ct = (_CT[c])
-            if ct & _WS:
+            if cts[i] & _WS:
                 ws_len += 1
                 i += 1
                 continue
-            if (_SP[c]) & xlat.SP_INTERPRETE_AS_WHITESPACE:
+            if sps[i] & xlat.SP_INTERPRETE_AS_WHITESPACE:
                 ws_len += 1
                 i += 1
                 continue
-            if c == begin_ch:
+            if ul[i] == begin_ch:
                 self.cur_len += ws_len + 1
                 ws_len = 0
                 i += 1
@@ -188,8 +191,9 @@ class _SentTokenizer:
     # -- SkipNonLetterAndNonDigitToTheEnd (Tokenizer.cs:985-1012) --
     def _trim_end(self, s: int, e0: int) -> int:
         ptr = e0
+        cts = self.cts
         while ptr >= s:
-            ct = (_CT[self.ch(ptr)])
+            ct = cts[ptr]
             if ct & _LD:
                 if ct & xlat.IS_UPPER:
                     p = ptr - 1
@@ -217,6 +221,7 @@ class _SentTokenizer:
 
         end = self._trim_end(s, realy_end)
 
+        ul, cts, sps = self.ul, self.cts, self.sps
         i = s
         while i <= end:
             if next_url_start <= i:
@@ -230,15 +235,15 @@ class _SentTokenizer:
                 i += 1
                 continue
 
-            c = self.ch(i)
-            ct = (_CT[c])
+            c = ul[i]
+            ct = cts[i]
             if ct & _WS:
                 self._try_create()
                 self.start_index += 1
                 i += 1
                 continue
 
-            sp = (_SP[c])
+            sp = sps[i]
             if sp & xlat.SP_DOT:
                 if self.dot_variant == "console":
                     # plain callback: dot accumulates; uppercase-next flushes
@@ -301,14 +306,14 @@ class _SentTokenizer:
 
         # tail region: trailing non-letter/digit chars (Tokenizer.cs:829-879)
         while i <= realy_end:
-            c = self.ch(i)
-            ct = (_CT[c])
+            c = ul[i]
+            ct = cts[i]
             if ct & _WS:
                 self._try_create()
                 self.start_index += 1
                 i += 1
                 continue
-            sp = (_SP[c])
+            sp = sps[i]
             if sp & xlat.SP_TOKENIZE_DIFFERENT_SEPARATELY:
                 self._try_create()
                 ok, i = self._merge_punct(i, c, realy_end)
@@ -338,32 +343,23 @@ class _SentTokenizer:
     def _is_digit_at(self, p: int, end: int) -> bool:
         if p > end:
             return False
-        c = self.ch(p)
-        if c == 0:
-            return False
-        return bool((_CT[c]) & xlat.IS_DIGIT)
+        return bool(self.cts[p] & xlat.IS_DIGIT)
 
     def _is_upper_at(self, p: int, end: int) -> bool:
         # IsUpperNextChar (Tokenizer.cs:1080-1104)
         if p > end:
             return False
-        c = self.ch(p)
-        if c == 0:
-            return False
-        return bool((_CT[c]) & xlat.IS_UPPER)
+        return bool(self.cts[p] & xlat.IS_UPPER)
 
     def _is_between(self, i: int, s: int, end: int, mask: int) -> bool:
         if i <= s:
             return False
-        if not ((_CT[self.ch(i - 1)]) & mask):
+        if not (self.cts[i - 1] & mask):
             return False
         p = i + 1
         if p > end:
             return False
-        c = self.ch(p)
-        if c == 0:
-            return False
-        return bool((_CT[c]) & mask)
+        return bool(self.cts[p] & mask)
 
 
 def _clear_value_original(v: str, extra: int, u, start: int, length: int) -> str:

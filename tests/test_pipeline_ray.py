@@ -224,3 +224,23 @@ def test_extreme_conv_skew(ray_session, tmp_path):
     got = pq_mod.read_table(out / "triples").drop(["part"])
     want = oracle_tables(tbl)["triples"]
     assert _sorted_df(got, TRIPLE_KEYS).equals(_sorted_df(want, TRIPLE_KEYS))
+
+
+def test_deep_fused_equals_modular_chain(fixture_path, oracle):
+    """The deep-fused single-pass path (Python structures end to end, one
+    Arrow build) must be column-for-column identical to the stage-by-stage
+    composition it replaces."""
+    import pyarrow as pa
+
+    from lingvo__postagger_ner_ru_dnn_ray.stages.fused import KgStage
+
+    stage = KgStage()
+    tbl = pa.concat_tables(
+        [b for b in read_transcripts(fixture_path).sort(["conv_id", "turn_idx"])
+         .to_pandas().pipe(lambda df: [pa.Table.from_pandas(df, preserve_index=False)])]
+    )
+    deep = stage(tbl).to_pandas()
+    modular = stage.call_modular(tbl).to_pandas()
+    assert list(deep.columns) == list(modular.columns)
+    k = TRIPLE_KEYS
+    assert _sorted_df(deep, k).equals(_sorted_df(modular, k))
