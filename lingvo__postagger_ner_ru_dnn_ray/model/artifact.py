@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
+import uuid
 from pathlib import Path
 
 import numpy as np
@@ -46,7 +48,9 @@ def save_artifact(model: SeqLabelModel, path: str | Path) -> dict:
         "vocab": [model.src_vocab.word(i) for i in range(len(PREDEFINED), len(model.src_vocab))],
     }
     arrays = {f"w__{k}": v for k, v in model.w.items()}
-    tmp = path.with_suffix(path.suffix + ".tmp")
+    # unique temp name: concurrent writers (two actors racing on a shared
+    # cache dir) must not clobber each other's in-flight file
+    tmp = path.with_suffix(path.suffix + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}")
     with open(tmp, "wb") as f:
         np.savez_compressed(
             f, meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8), **arrays
@@ -93,18 +97,33 @@ def load_artifact(path: str | Path, verify: bool = True) -> SeqLabelModel:
     )
 
 
+def _model_code_fingerprint() -> str:
+    """Hash of the source files that determine the default artifacts'
+    contents — keys the /tmp cache so a code change invalidates it
+    instead of silently reusing stale weights."""
+    h = hashlib.sha256()
+    here = Path(__file__).parent
+    for name in sorted(p.name for p in here.glob("*.py")):
+        h.update((here / name).read_bytes())
+    return h.hexdigest()[:12]
+
+
 def ensure_default_artifacts(base_dir: str | Path | None = None) -> str:
     """Build the two lexicon-constructed models once and persist them as
-    artifacts under ``base_dir`` (default: a /tmp dir keyed by nothing —
-    the artifact IS the key; a stale dir is overwritten only if absent or
-    corrupt). Returns the directory holding pos.npz / ner.npz.
+    artifacts under ``base_dir`` (default: a /tmp dir keyed by a hash of
+    the model package source, so artifacts built by older code are never
+    silently reused). Returns the directory holding pos.npz / ner.npz.
 
     This is the driver-side step a production deployment replaces with
     "copy the trained ONNX/npz from the model registry"; actors then load
     from the returned path in __init__."""
     from .lexicon import taggers
 
-    base = Path(base_dir) if base_dir else Path("/tmp/graft_models/default")
+    base = (
+        Path(base_dir)
+        if base_dir
+        else Path(f"/tmp/graft_models/default_{_model_code_fingerprint()}")
+    )
     pos_p, ner_p = base / "pos.npz", base / "ner.npz"
     try:
         load_artifact(pos_p)

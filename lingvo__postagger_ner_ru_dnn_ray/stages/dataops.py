@@ -1385,7 +1385,8 @@ _ANTI_MONTH = ("1997-06-01", "1997-07-01")
 
 
 def customers_without_orders(sf_dir: str) -> ray.data.Dataset:
-    """Customers with zero orders in June 1995 (the inactive-cohort
+    """Customers with zero orders in the _ANTI_MONTH window, June 1997
+    (the inactive-cohort
     anti-join): both sides hash-partition on salt(custkey) — orders
     pre-deduped per batch so at most one row per (batch, custkey)
     shuffles — and each bounded partition runs one vectorized isin
@@ -1510,7 +1511,12 @@ def events_user_cumsum(sf_dir: str) -> ray.data.Dataset:
         )
 
     def user_offsets(g: pd.DataFrame) -> pd.DataFrame:
-        # all users of this partition, vectorized per-user prefix
+        # all users of this partition, vectorized per-user prefix.
+        # bucket_totals emits PER-BATCH partial maxes, so a (user, bucket)
+        # cell split across map_batches batches yields duplicate rows —
+        # collapse to the true per-bucket max first (safe: the salt is by
+        # user, so every partial of a user's bucket lands in this group).
+        g = g.groupby(["user_id", "bucket"], as_index=False)["total"].max()
         t = g.sort_values(["user_id", "bucket"]).reset_index(drop=True)
         cum = t.groupby("user_id", sort=False)["total"].cumsum()
         off = (cum - t["total"]).astype("int64")  # exclusive prefix

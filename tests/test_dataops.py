@@ -213,3 +213,67 @@ def test_orders_by_nation_no_fact_broadcast(ray_session, monkeypatch):
 
     monkeypatch.setattr(ray.data.Dataset, "to_pandas", guarded)
     assert orders_by_nation(SF).count() > 0
+
+
+def test_cumsum_cell_spanning_batches(ray_session, tmp_path):
+    """A hot (user, day-bucket) cell with far more distinct timestamps than
+    one map_batches batch (default 1024): bucket_totals then emits PER-BATCH
+    partial maxes for the same (user, bucket), and user_offsets must collapse
+    them to the true max before the per-user prefix sum — otherwise later
+    buckets' offsets are inflated and rows are duplicated by the
+    (user_id, bucket) merge (ADVICE r2, high)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = 1_700_000_000_000_000  # us
+    day = 86_400_000_000
+    # user 0: 3000 distinct timestamps inside ONE day-bucket, then a second
+    # day with 500 more (so the inflated-offset symptom would show there)
+    ts0 = base + np.arange(3000, dtype=np.int64) * 10_000_000
+    ts1 = base + day + np.arange(500, dtype=np.int64) * 10_000_000
+    # a few normal users
+    rng = np.random.RandomState(3)
+    extra_u, extra_ts = [], []
+    for u in range(1, 6):
+        for _ in range(20):
+            extra_u.append(u)
+            extra_ts.append(base + int(rng.randint(0, 2 * day)))
+    users = np.concatenate([
+        np.zeros(len(ts0) + len(ts1), dtype=np.int64),
+        np.array(extra_u, dtype=np.int64),
+    ])
+    tss = np.concatenate([ts0, ts1, np.array(extra_ts, dtype=np.int64)])
+    vals = (rng.rand(len(users)) * 50).round(2)
+    tbl = pa.table({
+        "user_id": pa.array(users, pa.int64()),
+        "ts": pa.array(tss, pa.timestamp("us")),
+        "value": pa.array(vals, pa.float64()),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+
+    from ray.data import DataContext
+
+    from lingvo__postagger_ner_ru_dnn_ray.stages.dataops import events_user_cumsum
+
+    # force tiny blocks so the hot cell's rows span many blocks (batches
+    # never cross block boundaries -> bucket_totals sees split batches,
+    # which is what happens at scale when a cell exceeds target block size)
+    ctx = DataContext.get_current()
+    prev = ctx.target_max_block_size
+    ctx.target_max_block_size = 16 * 1024
+    try:
+        got = events_user_cumsum(str(tmp_path)).to_pandas()
+    finally:
+        ctx.target_max_block_size = prev
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    import __ray_entry__ as e
+
+    want = con.execute(e._dataops_sql()["events_user_cumsum"]).fetchdf()
+    g = _canon(got)
+    w = _canon(want)
+    assert len(g) == len(w), f"{len(g)} rows vs oracle {len(w)} (duplicate rows?)"
+    assert g.equals(w)
