@@ -252,86 +252,110 @@ _EMPTY_MERGE_FRAME = pd.DataFrame({
 })
 
 
+_SHINGLE_HASH_MEMO: dict[str, int] = {}  # per-worker cache (Zipfian shingles)
+
+
+def _shingle_hash(s: str) -> int:
+    """md5-derived shingle hash mod 2^31-1, memoized per worker — the
+    per-shingle Python md5 is the minhash family's wall-clock dominator
+    and md5 itself is load-bearing for the SQL oracle, so memoization is
+    the available lever (bounded + self-clearing like _word_hash)."""
+    h = _SHINGLE_HASH_MEMO.get(s)
+    if h is None:
+        if len(_SHINGLE_HASH_MEMO) > 1_000_000:  # bound worker heap
+            _SHINGLE_HASH_MEMO.clear()
+        h = _SHINGLE_HASH_MEMO[s] = int(_md5_u64(s)) % 2147483647
+    return h
+
+
 def _minhash_sig(sh: frozenset) -> np.ndarray:
     if not sh:
         return np.zeros(_MH_PERMS, dtype=np.uint64)
-    hv = np.array([_md5_u64(s) for s in sh], dtype=np.uint64) % _MH_P
+    hv = np.fromiter((_shingle_hash(s) for s in sh), dtype=np.uint64, count=len(sh))
     # universal hashing (a*x + b) mod p — products < 2^62, no uint64 wrap
     return ((_MH_A[:, None] * hv[None, :] + _MH_B[:, None]) % _MH_P).min(axis=1)
 
 
-def doc_minhash_pairs(sf_dir: str, verify_threshold_pct: int = 1) -> ray.data.Dataset:
-    """MinHash(64) + LSH(32×2) near-duplicate pairs, scale-safe end to end:
+def _mh_to_bands(batch: pa.Table) -> pa.Table:
+    """Per doc, _MH_BANDS rows (doc_id, band, bucket, salt) where bucket is
+    the EXACT (s0<<31 | s1) encoding of the band's two 31-bit signature
+    rows and salt = hash(band, bucket) % _MH_N_SALTS."""
+    n = batch.num_rows
+    ids = np.repeat(np.asarray(batch.column("doc_id"), dtype=np.int64), _MH_BANDS)
+    bands = np.tile(np.arange(_MH_BANDS, dtype=np.int32), n)
+    buckets = np.empty(n * _MH_BANDS, dtype=np.int64)
+    for r, text in enumerate(batch.column("text").to_pylist()):
+        sig = _minhash_sig(_shingles(text))
+        packed = (sig[0::2].astype(np.int64) << 31) | sig[1::2].astype(np.int64)
+        buckets[r * _MH_BANDS : (r + 1) * _MH_BANDS] = packed
+    salt = (
+        (buckets.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+        ^ (bands.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))
+    ) % np.uint64(_MH_N_SALTS)
+    return pa.Table.from_arrays(
+        [pa.array(ids), pa.array(bands), pa.array(buckets),
+         pa.array(salt.astype(np.int64))],
+        names=["doc_id", "band", "bucket", "salt"],
+    )
 
-    1. to_bands: per doc, 32 rows (doc_id, band, bucket) where bucket is the
-       EXACT encoding (s0<<31 | s1) of the band's two 31-bit signature rows
-       (no hash collisions → candidate set is exactly sig-equality).
-    2. candidates: groupby salt = hash(band, bucket) % N_SALTS — all rows
-       of one (band, bucket) land in one bounded group, and the
-       duplicated-bucket pair scan inside each group is vectorized pandas
-       over (band, bucket); then a (doc_a, doc_b) groupby dedups across
-       bands.
-    3. verify: candidates are merged back to the document texts with two
-       reduce-side co-partitioned groupby merges (hash-partitioned on the
-       doc id; nothing is materialized on the driver), then exact Jaccard
-       filters the pairs.
 
-    Emits verified pairs (doc_a, doc_b, jaccard_pct)."""
-    rows_per_band = _MH_PERMS // _MH_BANDS
-    assert rows_per_band == 2  # bucket packing below assumes 2×31-bit rows
+# pair LISTING only: emit pairs among at most this many (sorted) docs per
+# duplicated (band, bucket) — a web-scale duplicate cluster of 10^5 docs
+# would otherwise emit C(m,2) ≈ 5·10^9 pairs from one bucket. Truncation
+# is deterministic (lowest doc_ids win) and logged. The dedup operator
+# does NOT go through pairs at all — it uses linear representative links.
+_LSH_BUCKET_DOC_CAP = 256
 
-    def to_bands(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        ids = np.repeat(np.asarray(batch.column("doc_id"), dtype=np.int64), _MH_BANDS)
-        bands = np.tile(np.arange(_MH_BANDS, dtype=np.int32), n)
-        buckets = np.empty(n * _MH_BANDS, dtype=np.int64)
-        for r, text in enumerate(batch.column("text").to_pylist()):
-            sig = _minhash_sig(_shingles(text))
-            packed = (sig[0::2].astype(np.int64) << 31) | sig[1::2].astype(np.int64)
-            buckets[r * _MH_BANDS : (r + 1) * _MH_BANDS] = packed
-        salt = (
-            (buckets.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-            ^ (bands.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))
-        ) % np.uint64(_MH_N_SALTS)
-        return pa.Table.from_arrays(
-            [pa.array(ids), pa.array(bands), pa.array(buckets),
-             pa.array(salt.astype(np.int64))],
-            names=["doc_id", "band", "bucket", "salt"],
-        )
 
-    def salted_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        # one group per salt: vectorized scan over its (band, bucket) runs
-        g = group[group.duplicated(["band", "bucket"], keep=False)]
-        if g.empty:
-            return pd.DataFrame(
-                {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
+def _distinct_pairs(pairs: ray.data.Dataset) -> ray.data.Dataset:
+    """DISTINCT (doc_a, doc_b) via salted hash partitions: a per-key
+    groupby would dispatch Python per group (O(#pairs) groups); instead
+    hash the pair into _JOIN_SALTS bounded partitions and drop_duplicates
+    vectorized inside each — O(partitions) dispatch."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                 pa.array([], pa.int64())],
+                names=["doc_a", "doc_b", "salt"],
             )
-        a_out, b_out = [], []
-        for _, ids in g.groupby(["band", "bucket"], sort=False)["doc_id"]:
-            uniq = sorted(set(ids.tolist()))
-            for i in range(len(uniq)):
-                for j in range(i + 1, len(uniq)):
-                    a_out.append(uniq[i])
-                    b_out.append(uniq[j])
-        return pd.DataFrame(
-            {"doc_a": pd.Series(a_out, dtype="int64"), "doc_b": pd.Series(b_out, dtype="int64")}
+        a = np.asarray(batch.column("doc_a"), dtype=np.int64)
+        b = np.asarray(batch.column("doc_b"), dtype=np.int64)
+        key = (a << np.int64(32)) ^ b  # doc ids fit 32 bits
+        return pa.Table.from_arrays(
+            [pa.array(a), pa.array(b), pa.array(_key_salt(key))],
+            names=["doc_a", "doc_b", "salt"],
         )
 
-    docs = _docs(sf_dir, ["doc_id", "text"])
-    bands = docs.map_batches(to_bands, batch_format="pyarrow")
-    cand = bands.groupby("salt").map_groups(salted_pairs, batch_format="pandas")
-    # dedup candidate pairs across bands
-    cand = cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+    def distinct(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop_duplicates(["doc_a", "doc_b"])
+        return pd.DataFrame({
+            "doc_a": pd.Series(out["doc_a"].to_numpy(), dtype="int64"),
+            "doc_b": pd.Series(out["doc_b"].to_numpy(), dtype="int64"),
+        })
 
-    # verify with exact jaccard via two reduce-side co-partitioned merges:
-    # candidates and doc payloads are unioned, hash-partitioned on
-    # salt(doc id) into _JOIN_SALTS bounded partitions, and each partition
-    # runs a VECTORIZED pandas merge — the classic partitioned hash join,
-    # with nothing ever materialized on the driver. (groupby-on-salt
-    # rather than Dataset.join: Ray 2.49's join aggregator synthesizes
-    # schema-less tables for empty hash partitions and Acero then rejects
-    # the key field; and salting keeps the per-group Python dispatch cost
-    # at O(partitions), not O(keys).)
+    return (
+        pairs.map_batches(tag, batch_format="pyarrow")
+        .groupby("salt")
+        .map_groups(distinct, batch_format="pandas")
+    )
+
+
+def _verify_candidate_pairs(
+    docs: ray.data.Dataset, cand: ray.data.Dataset, verify_threshold_pct: int
+) -> ray.data.Dataset:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs via two
+    reduce-side co-partitioned groupby merges (hash-partitioned on the doc
+    id; nothing is ever materialized on the driver). Each partition
+    receives every needed text ONCE per (partition, doc) — pair rows carry
+    only ids; a-side texts ship as separate deduplicated payload rows —
+    so the shuffle payload is linear in docs-per-partition, not in pairs.
+    (groupby-on-salt rather than Dataset.join: Ray 2.49's join aggregator
+    synthesizes schema-less tables for empty hash partitions and Acero
+    then rejects the key field; salting keeps per-group Python dispatch
+    at O(partitions).) Emits (doc_a, doc_b, jaccard_pct ≥ threshold)."""
+
     def tag_docs(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         k = np.asarray(batch.column("doc_id"), dtype=np.int64)
@@ -359,44 +383,61 @@ def doc_minhash_pairs(sf_dir: str, verify_threshold_pct: int = 1) -> ray.data.Da
         )
 
     def attach_text_a(g: pd.DataFrame) -> pd.DataFrame:
-        # vectorized hash-merge of all keys in this salt partition;
-        # re-key rows on doc_b (carrying doc_a + text_a) for pass 2
+        # vectorized hash-merge of all keys in this salt partition; re-key
+        # pairs on doc_b for pass 2. text_a is NOT carried per pair: pair
+        # rows (kind 1) are id-only, and one payload row (kind 2) per
+        # distinct (target partition, doc_a) carries the text.
         docs_g = g[g["kind"] == 0][["k", "payload"]].rename(columns={"payload": "text_a"})
         c = g[g["kind"] == 1][["k", "other"]]
         if docs_g.empty or c.empty:
             return _EMPTY_MERGE_FRAME.copy()
         m = c.merge(docs_g, on="k", how="inner")
         k2 = m["other"].to_numpy(dtype=np.int64)
-        return pd.DataFrame({
+        salt2 = _key_salt(k2)
+        pair_rows = pd.DataFrame({
             "k": pd.Series(k2, dtype="int64"),
-            "salt": pd.Series(_key_salt(k2), dtype="int64"),
+            "salt": pd.Series(salt2, dtype="int64"),
             "kind": pd.Series([1] * len(m), dtype="int8"),
             "other": pd.Series(m["k"].to_numpy(), dtype="int64"),
-            "payload": pd.Series(m["text_a"].to_numpy(), dtype="object"),
+            "payload": pd.Series([None] * len(m), dtype="object"),
         })
+        pay = pd.DataFrame({
+            "k": pd.Series(m["k"].to_numpy(), dtype="int64"),
+            "salt": pd.Series(salt2, dtype="int64"),
+            "kind": pd.Series([2] * len(m), dtype="int8"),
+            "other": pd.Series([0] * len(m), dtype="int64"),
+            "payload": pd.Series(m["text_a"].to_numpy(), dtype="object"),
+        }).drop_duplicates(["salt", "k"])
+        return pd.concat([pair_rows, pay], ignore_index=True)
 
     def verify_partition(g: pd.DataFrame) -> pd.DataFrame:
-        docs_g = g[g["kind"] == 0][["k", "payload"]].rename(columns={"payload": "text_b"})
+        docs_g = g[g["kind"] == 0]
+        texts_b = dict(zip(docs_g["k"], docs_g["payload"]))
+        texts_a_g = g[g["kind"] == 2]
+        texts_a = dict(zip(texts_a_g["k"], texts_a_g["payload"]))
         c = g[g["kind"] == 1]
         a_out, b_out, j_out = [], [], []
-        if not docs_g.empty and not c.empty:
-            m = c.merge(docs_g, on="k", how="inner")
-            sh_memo: dict = {}
-            for b_key, a_id, text_a, text_b in zip(
-                m["k"], m["other"], m["payload"], m["text_b"]
-            ):
-                sa = _shingles(text_a)
-                sb = sh_memo.get(b_key)
-                if sb is None:
-                    sb = sh_memo[b_key] = _shingles(text_b)
-                inter = len(sa & sb)
-                if inter == 0:
-                    continue
-                jac = (100 * inter) // (len(sa) + len(sb) - inter)
-                if jac >= verify_threshold_pct:
-                    a_out.append(int(a_id))
-                    b_out.append(int(b_key))
-                    j_out.append(jac)
+        sh_memo: dict = {}  # doc id -> shingle set, both sides
+
+        def sh_of(doc_id, texts):
+            s = sh_memo.get(doc_id)
+            if s is None:
+                s = sh_memo[doc_id] = _shingles(texts[doc_id])
+            return s
+
+        for b_key, a_id in zip(c["k"], c["other"]):
+            if b_key not in texts_b or a_id not in texts_a:
+                continue
+            sa = sh_of(a_id, texts_a)
+            sb = sh_of(b_key, texts_b)
+            inter = len(sa & sb)
+            if inter == 0:
+                continue
+            jac = (100 * inter) // (len(sa) + len(sb) - inter)
+            if jac >= verify_threshold_pct:
+                a_out.append(int(a_id))
+                b_out.append(int(b_key))
+                j_out.append(jac)
         return pd.DataFrame({
             "doc_a": pd.Series(a_out, dtype="int64"),
             "doc_b": pd.Series(b_out, dtype="int64"),
@@ -428,10 +469,71 @@ def doc_minhash_pairs(sf_dir: str, verify_threshold_pct: int = 1) -> ray.data.Da
     )
 
 
-def minhash_oracle_sql(verify_threshold_pct: int = 1) -> str:
-    """DuckDB SQL that reproduces doc_minhash_pairs EXACTLY (same md5-based
-    shingle hashes, same (a,b) permutation constants, same band equality,
-    same integer Jaccard verification)."""
+def doc_minhash_pairs(sf_dir: str, verify_threshold_pct: int = 1) -> ray.data.Dataset:
+    """MinHash(64) + LSH(32×2) near-duplicate PAIR LISTING, scale-safe:
+
+    1. _mh_to_bands: per doc, 32 rows (doc_id, band, bucket) — bucket is
+       the exact (s0<<31 | s1) signature encoding, so the candidate set is
+       precisely signature equality (no hash collisions).
+    2. candidates: groupby salt = hash(band, bucket) % N_SALTS — all rows
+       of one (band, bucket) land in one bounded group; the duplicated-
+       bucket pair scan inside each group is vectorized numpy
+       (triu_indices), emission per bucket is CAPPED at
+       C(_LSH_BUCKET_DOC_CAP, 2) with deterministic lowest-ids-win
+       truncation (logged) so one giant duplicate cluster cannot emit a
+       quadratic pair set; then a (doc_a, doc_b) groupby dedups across
+       bands. (The dedup REMOVAL operator doc_dedup_minhash does not go
+       through pairs at all — linear representative links.)
+    3. verify: exact Jaccard via _verify_candidate_pairs (two reduce-side
+       co-partitioned merges; texts cross the shuffle once per partition,
+       not once per pair).
+
+    Emits verified pairs (doc_a, doc_b, jaccard_pct). The SQL oracle
+    assumes no bucket exceeds the cap — true at test scale; at web scale
+    the listing is explicitly truncated and logged."""
+    rows_per_band = _MH_PERMS // _MH_BANDS
+    assert rows_per_band == 2  # bucket packing assumes 2×31-bit rows
+
+    def salted_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        # one group per salt: vectorized scan over its (band, bucket) runs
+        g = group[group.duplicated(["band", "bucket"], keep=False)]
+        if g.empty:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
+            )
+        a_out, b_out = [], []
+        dropped = 0
+        for _, ids in g.groupby(["band", "bucket"], sort=False)["doc_id"]:
+            u = np.unique(ids.to_numpy())
+            if len(u) > _LSH_BUCKET_DOC_CAP:
+                dropped += len(u) - _LSH_BUCKET_DOC_CAP
+                u = u[:_LSH_BUCKET_DOC_CAP]
+            ii, jj = np.triu_indices(len(u), k=1)
+            a_out.append(u[ii])
+            b_out.append(u[jj])
+        if dropped:
+            print(
+                f"[doc_minhash_pairs] bucket cap {_LSH_BUCKET_DOC_CAP}: "
+                f"dropped {dropped} docs from pair emission"
+            )
+        a = np.concatenate(a_out) if a_out else np.array([], dtype=np.int64)
+        b = np.concatenate(b_out) if b_out else np.array([], dtype=np.int64)
+        return pd.DataFrame(
+            {"doc_a": pd.Series(a, dtype="int64"), "doc_b": pd.Series(b, dtype="int64")}
+        )
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    bands = docs.map_batches(_mh_to_bands, batch_format="pyarrow")
+    cand = bands.groupby("salt").map_groups(salted_pairs, batch_format="pandas")
+    # dedup candidate pairs across bands (salted distinct, O(partitions))
+    cand = _distinct_pairs(cand)
+    return _verify_candidate_pairs(docs, cand, verify_threshold_pct)
+
+
+def _mh_band_cte() -> str:
+    """Shared WITH-prefix (shingles → md5 hashes → 64 permutations →
+    32 packed band buckets) used by both minhash oracles — computes the
+    identical bands the Ray side computes, bit for bit."""
     perm_vals = ", ".join(
         f"({i},{int(_MH_A[i])},{int(_MH_B[i])})" for i in range(_MH_PERMS)
     )
@@ -453,7 +555,16 @@ sig AS (
          (min(CASE WHEN i % 2 = 0 THEN v END) << 31)
          | min(CASE WHEN i % 2 = 1 THEN v END) AS bucket
   FROM sig GROUP BY doc_id, i // 2
-), cand AS (
+)"""
+
+
+def minhash_oracle_sql(verify_threshold_pct: int = 1) -> str:
+    """DuckDB SQL that reproduces doc_minhash_pairs EXACTLY (same md5-based
+    shingle hashes, same (a,b) permutation constants, same band equality,
+    same integer Jaccard verification). Assumes no LSH bucket exceeds
+    _LSH_BUCKET_DOC_CAP docs — holds at test scale; at web scale the Ray
+    side truncates deterministically and logs."""
+    return f"""{_mh_band_cte()}, cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket
                           AND a.doc_id < b.doc_id
@@ -1160,12 +1271,45 @@ _DEDUP_KEEP_THRESHOLD = 50  # jaccard % above which doc_b is dropped
 
 def doc_dedup_minhash(sf_dir: str) -> ray.data.Dataset:
     """End-to-end near-duplicate REMOVAL (the operation a training-data
-    pipeline actually runs, not just the pair listing): verified MinHash
-    pairs at ≥50 % Jaccard mark their doc_b for dropping; the keep-list is
-    the salted reduce-side anti-join of all doc ids against the drop set.
-    Keeps the lower doc_id of each near-dup pair (and of chains, every
-    doc that is never a doc_b)."""
-    pairs = doc_minhash_pairs(sf_dir)
+    pipeline actually runs) — LINEAR in bucket size, never O(m²):
+
+    1. Representative links: inside each duplicated (band, bucket), every
+       doc links to the bucket's min doc_id — one link per doc per band
+       (≤32 links/doc after the cross-band dedup), fully vectorized
+       (groupby.transform('min')). A 10^5-doc duplicate cluster emits
+       10^5 links, not 5·10^9 pairs.
+    2. Verify: exact Jaccard(doc, representative) ≥ 50 % via the same
+       co-partitioned merge machinery as the pair listing (texts cross
+       the shuffle once per partition, not per link).
+    3. Keep-list: salted reduce-side anti-join of all doc ids against the
+       verified drop set. A doc is dropped iff it shares a bucket with a
+       lower-id representative it is ≥50 %-Jaccard-similar to; bucket
+       minima themselves are always kept — the canonical min-rep dedup
+       policy, reproduced exactly by the SQL oracle."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    bands = docs.map_batches(_mh_to_bands, batch_format="pyarrow")
+
+    def rep_links(group: pd.DataFrame) -> pd.DataFrame:
+        # all (band, bucket) runs of this salt partition, vectorized:
+        # doc -> min doc_id of its bucket (linear, no pair enumeration)
+        g = group[group.duplicated(["band", "bucket"], keep=False)]
+        if g.empty:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
+            )
+        rep = g.groupby(["band", "bucket"], sort=False)["doc_id"].transform("min")
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        reps = rep.to_numpy(dtype=np.int64)
+        mask = ids != reps
+        return pd.DataFrame(
+            {"doc_a": pd.Series(reps[mask], dtype="int64"),
+             "doc_b": pd.Series(ids[mask], dtype="int64")}
+        )
+
+    links = bands.groupby("salt").map_groups(rep_links, batch_format="pandas")
+    # dedup (rep, doc) links across bands — ≤ _MH_BANDS rows per doc
+    links = _distinct_pairs(links)
+    verified = _verify_candidate_pairs(docs, links, _DEDUP_KEEP_THRESHOLD)
 
     def drops(batch: pa.Table) -> pa.Table:
         if batch.num_columns == 0 or batch.num_rows == 0:
@@ -1174,8 +1318,7 @@ def doc_dedup_minhash(sf_dir: str) -> ray.data.Dataset:
                  pa.array([], pa.int8())],
                 names=["k", "salt", "kind"],
             )
-        keep = pc.greater_equal(batch.column("jaccard_pct"), _DEDUP_KEEP_THRESHOLD)
-        k = np.unique(np.asarray(batch.filter(keep).column("doc_b"), dtype=np.int64))
+        k = np.unique(np.asarray(batch.column("doc_b"), dtype=np.int64))
         return pa.Table.from_arrays(
             [pa.array(k), pa.array(_key_salt(k)), pa.array([1] * len(k), pa.int8())],
             names=["k", "salt", "kind"],
@@ -1194,7 +1337,7 @@ def doc_dedup_minhash(sf_dir: str) -> ray.data.Dataset:
         return pd.DataFrame({"doc_id": pd.Series(np.sort(out.to_numpy()), dtype="int64")})
 
     ids = _docs(sf_dir, ["doc_id"]).map_batches(tag_ids, batch_format="pyarrow")
-    both = ids.union(pairs.map_batches(drops, batch_format="pyarrow"))
+    both = ids.union(verified.map_batches(drops, batch_format="pyarrow"))
     out_schema = pa.schema([("doc_id", pa.int64())])
 
     def stamp(batch: pa.Table) -> pa.Table:
@@ -1210,11 +1353,25 @@ def doc_dedup_minhash(sf_dir: str) -> ray.data.Dataset:
 
 
 def dedup_minhash_oracle_sql() -> str:
-    return (
-        "SELECT doc_id FROM documents WHERE doc_id NOT IN ("
-        f"SELECT doc_b FROM ({minhash_oracle_sql()}) "
-        f"WHERE jaccard_pct >= {_DEDUP_KEEP_THRESHOLD})"
-    )
+    """SQL mirror of the representative-link dedup: a doc is dropped iff
+    some bucket it occupies has a lower min doc_id (its representative)
+    AND exact Jaccard(doc, representative) ≥ threshold."""
+    return f"""{_mh_band_cte()}, rep AS (
+  SELECT band, bucket, min(doc_id) AS rep FROM band GROUP BY band, bucket
+), link AS (
+  SELECT DISTINCT b.doc_id AS doc_id, r.rep AS rep
+  FROM band b JOIN rep r ON b.band = r.band AND b.bucket = r.bucket
+  WHERE b.doc_id > r.rep
+), dropped AS (
+  SELECT l.doc_id FROM link l
+  JOIN s sa ON l.rep = sa.doc_id JOIN s sb ON l.doc_id = sb.doc_id
+  WHERE len(list_intersect(sa.sh, sb.sh)) > 0
+    AND 100 * len(list_intersect(sa.sh, sb.sh)) //
+        (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+        >= {_DEDUP_KEEP_THRESHOLD}
+)
+SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
 
 
 # --------------------------------------------------------------------------- #

@@ -277,3 +277,42 @@ def test_cumsum_cell_spanning_batches(ray_session, tmp_path):
     w = _canon(want)
     assert len(g) == len(w), f"{len(g)} rows vs oracle {len(w)} (duplicate rows?)"
     assert g.equals(w)
+
+
+def test_minhash_giant_duplicate_cluster_bounded(ray_session, tmp_path):
+    """A giant identical-doc cluster (every LSH bucket holds all n docs,
+    n ≫ cap): the pair LISTING must stay bounded by the per-bucket cap
+    instead of emitting C(n,2) pairs, and the dedup REMOVAL must go
+    through linear representative links and keep exactly the min doc_id
+    of the cluster (VERDICT r2 Next #1)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lingvo__postagger_ner_ru_dnn_ray.stages.dataops import (
+        _LSH_BUCKET_DOC_CAP,
+        doc_dedup_minhash,
+        doc_minhash_pairs,
+    )
+
+    n = 2_000  # ≫ the 256-doc cap; 10k exercises the same bound, slower
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    ids = list(range(100, 100 + n)) + [5, 7]  # cluster + two unrelated docs
+    texts = [text] * n + [
+        "completely different words one two three four five six seven",
+        "nothing shared here either alpha beta gamma delta epsilon zeta",
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}),
+        tmp_path / "documents.parquet",
+    )
+
+    pairs = doc_minhash_pairs(str(tmp_path)).to_pandas()
+    cap_pairs = _LSH_BUCKET_DOC_CAP * (_LSH_BUCKET_DOC_CAP - 1) // 2
+    assert 0 < len(pairs) <= cap_pairs  # bounded, not C(10k,2)
+    # truncation is deterministic lowest-ids-win: every emitted pair is
+    # within the first cap docs of the cluster
+    assert pairs["doc_b"].max() < 100 + _LSH_BUCKET_DOC_CAP
+
+    kept = doc_dedup_minhash(str(tmp_path)).to_pandas()["doc_id"].tolist()
+    assert sorted(kept) == [5, 7, 100]  # min of the cluster + the two singles
