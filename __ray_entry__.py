@@ -96,8 +96,13 @@ def _ensure_kg_ray(sf_dir: str) -> str:
         shutil.rmtree(outp)
     path = transcripts_for_sf(sf_dir)
     ds = read_transcripts(path).sort(["conv_id", "turn_idx"])
-    sents = tagged_sentences(ds)
+    import ray
     import ray.data
+
+    # size the tagger pool from the cluster (same as entry()) instead of
+    # the default 4 — the kg-family replay otherwise underuses 32 CPUs
+    pool = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+    sents = tagged_sentences(ds, tag_concurrency=pool)
 
     sents.write_parquet(str(outp / "sentences"))
     sents_w = ray.data.read_parquet(str(outp / "sentences"))
@@ -457,7 +462,8 @@ def _dataops_sql() -> dict[str, str]:
             "SELECT event_type, cast(round(value*100) AS BIGINT) AS cents FROM events) "
             "GROUP BY event_type"
         ),
-        # media_features: stub codec -> rows-only check (by design)
+        # media_features / media_stats oracles are added in oracle_sql()
+        # (they need the materialized payload path)
     }
 
 
@@ -489,8 +495,13 @@ def oracle_sql() -> dict[str, str]:
     sql["emb_ann_ivf_recall"] = ann_ivf_recall_oracle_sql(ivf_path)
     from lingvo__postagger_ner_ru_dnn_ray.stages.multimodal import (
         ensure_media_parquet,
+        media_features_oracle_sql,
         media_stats_oracle_sql,
     )
 
-    sql["media_stats"] = media_stats_oracle_sql(ensure_media_parquet(sf))
+    media_path = ensure_media_parquet(sf)
+    sql["media_stats"] = media_stats_oracle_sql(media_path)
+    # real BMP/WAV header parsing -> value-checked (video rows byte_sum
+    # over the whole payload; width/height 0 — the stub part, still exact)
+    sql["media_features"] = media_features_oracle_sql(media_path)
     return sql

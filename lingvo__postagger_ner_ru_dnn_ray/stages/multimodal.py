@@ -5,14 +5,21 @@ The Ray-side mechanics are real and tested: binary columns stay in Arrow
 end-to-end (``batch_format="pyarrow"`` — binary round-trips poorly through
 pandas), payloads are decoded in a CALLABLE-CLASS actor pool whose decoder
 state loads once per actor, and batch sizes are kept small because each
-row is payload-heavy (guide §memory). The codec itself is STUBBED: the
-image/audio libraries are not in this container, so ``DecoderStub``
-derives deterministic pseudo-features from the payload bytes; swap
-``_decode`` for PIL/torchaudio in production — the schema, actor
-signature, batch sizing and output layout do not change.
+row is payload-heavy (guide §memory).
+
+The codecs are real for image and audio: payloads are valid 24-bit BI_RGB
+**BMP** files and PCM16 mono **WAV** files, parsed header-first with no
+external libraries, so width/height/sample counts and the pixel/sample
+byte checksum are value-checkable against a DuckDB oracle over the raw
+payload bytes (``media_features_oracle_sql``). Only the *video* codec is
+a stub (no container-parsing libs here): deterministic pseudo-features
+from the payload bytes; swap ``_decode_video`` for a real demuxer in
+production — schema, actor signature, batch sizing and output layout do
+not change.
 """
 from __future__ import annotations
 
+import struct
 import zlib
 
 import numpy as np
@@ -30,78 +37,67 @@ MEDIA_SCHEMA = pa.schema(
 
 FEATURE_DIM = 16
 
-
-class DecoderStub:
-    """Stands in for a real codec+model actor (e.g. PIL decode + CNN
-    embed). Deterministic pure function of the payload bytes."""
-
-    def __init__(self, feature_dim: int = FEATURE_DIM):
-        self.feature_dim = feature_dim
-        try:  # the real path, absent in this container
-            import PIL.Image  # noqa: F401
-
-            self.real_codec = True
-        except ImportError:
-            self.real_codec = False
-
-    def _decode(self, payload: bytes, media_type: str) -> tuple[int, int, np.ndarray]:
-        if self.real_codec and media_type == "image":  # pragma: no cover
-            raise NotImplementedError("real decode path requires PIL + a model")
-        h = zlib.crc32(payload)
-        width = 16 + h % 1024
-        height = 16 + (h >> 10) % 1024
-        rng = np.random.RandomState(h % (2**31))
-        feat = rng.rand(self.feature_dim).astype(np.float32)
-        return width, height, feat
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column("media_id")
-        types = batch.column("media_type").to_pylist()
-        payloads = batch.column("payload").to_pylist()
-        w_out, h_out, n_bytes, feats = [], [], [], []
-        for t, p in zip(types, payloads):
-            w, h, f = self._decode(p, t)
-            w_out.append(w)
-            h_out.append(h)
-            n_bytes.append(len(p))
-            feats.append(f)
-        return pa.Table.from_arrays(
-            [
-                ids,
-                pa.array(types, pa.string()),
-                pa.array(n_bytes, pa.int64()),
-                pa.array(w_out, pa.int32()),
-                pa.array(h_out, pa.int32()),
-                pa.array([f.tolist() for f in feats], pa.list_(pa.float32())),
-            ],
-            names=["media_id", "media_type", "n_bytes", "width", "height", "features"],
-        )
+_MEDIA_VERSION = 2  # payload format version — keys the /tmp cache
 
 
-def decode_media(ds: ray.data.Dataset, *, concurrency: int | tuple[int, int] = 2,
-                 batch_size: int = 64) -> ray.data.Dataset:
-    """Actor-pool decode: small batches (payload-heavy rows), Arrow
-    batch format (binary-safe), decoder loaded once per actor."""
-    return ds.map_batches(
-        DecoderStub,
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
+# --------------------------------------------------------------------------- #
+# synthesis: real file formats, deterministic content
+
+
+def _make_bmp(rng: np.random.RandomState) -> bytes:
+    """Valid 24-bit uncompressed (BI_RGB) BMP, bottom-up rows padded to 4
+    bytes — the layout every image tool accepts."""
+    w = int(rng.randint(4, 24))
+    h = int(rng.randint(4, 20))
+    row_raw = w * 3
+    pad = (4 - row_raw % 4) % 4
+    img_size = (row_raw + pad) * h
+    pixel_off = 54
+    header = struct.pack(
+        "<2sIHHI", b"BM", pixel_off + img_size, 0, 0, pixel_off
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
     )
+    rows = []
+    for _ in range(h):
+        rows.append(rng.randint(0, 256, size=row_raw, dtype=np.int64).astype(np.uint8).tobytes())
+        rows.append(b"\x00" * pad)
+    return header + b"".join(rows)
+
+
+def _make_wav(rng: np.random.RandomState) -> bytes:
+    """Valid PCM16 mono WAV (44-byte canonical header + samples)."""
+    n_samples = int(rng.randint(64, 2048))
+    sample_rate = int(rng.choice([8000, 16000, 44100]))
+    data_size = n_samples * 2
+    samples = rng.randint(-2000, 2000, size=n_samples, dtype=np.int64).astype("<i2")
+    header = (
+        struct.pack("<4sI4s", b"RIFF", 36 + data_size, b"WAVE")
+        + struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate,
+                      sample_rate * 2, 2, 16)
+        + struct.pack("<4sI", b"data", data_size)
+    )
+    return header + samples.tobytes()
 
 
 def synth_media_table(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic fake media corpus: binary payloads of varying size."""
+    """Deterministic fake media corpus: REAL BMP images and PCM WAV audio
+    plus opaque pseudo-video payloads."""
     rng = np.random.RandomState(seed)
     types = ["image", "audio", "video"]
     ids, ts, payloads, metas = [], [], [], []
     for i in range(n):
         t = types[i % 3]
-        size = 256 + int(rng.randint(0, 4096))
-        payloads.append(rng.bytes(size))
+        if t == "image":
+            payloads.append(_make_bmp(rng))
+        elif t == "audio":
+            payloads.append(_make_wav(rng))
+        else:
+            size = 256 + int(rng.randint(0, 4096))
+            payloads.append(rng.bytes(size))
         ids.append(i)
         ts.append(t)
-        metas.append(f'{{"codec":"stub","idx":{i}}}')
+        metas.append(f'{{"codec":"{"bmp" if t == "image" else "wav" if t == "audio" else "stub"}","idx":{i}}}')
     return pa.Table.from_arrays(
         [
             pa.array(ids, pa.int64()),
@@ -113,20 +109,144 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
     )
 
 
+# --------------------------------------------------------------------------- #
+# decode
+
+
+class MediaDecoder:
+    """Codec+feature actor: real BMP / WAV header+content parsing (pure
+    numpy — no image/audio libraries needed), stub for video. A pure,
+    deterministic function of the payload bytes.
+
+    Per type it emits (width, height, byte_sum, features):
+      image  — BMP width / height; byte_sum over the pixel region (from
+               the header's pixel-array offset to EOF); features =
+               per-channel means.
+      audio  — width = n_samples, height = sample_rate; byte_sum over the
+               PCM data (byte 44..EOF); features = sample mean/std.
+      video  — stub: zeros + crc-derived pseudo-embedding.
+    """
+
+    def __init__(self, feature_dim: int = FEATURE_DIM):
+        self.feature_dim = feature_dim
+
+    def _decode_image(self, p: bytes):
+        if len(p) < 54 or p[:2] != b"BM":
+            raise ValueError("not a BMP payload")
+        pixel_off = struct.unpack_from("<I", p, 10)[0]
+        w = struct.unpack_from("<i", p, 18)[0]
+        h = struct.unpack_from("<i", p, 22)[0]
+        bpp = struct.unpack_from("<H", p, 28)[0]
+        comp = struct.unpack_from("<I", p, 30)[0]
+        if bpp != 24 or comp != 0:
+            raise ValueError("only 24-bit BI_RGB supported")
+        data = np.frombuffer(p, dtype=np.uint8, offset=pixel_off)
+        byte_sum = int(data.sum(dtype=np.int64))
+        row_raw = w * 3
+        stride = row_raw + (4 - row_raw % 4) % 4
+        rows = data[: stride * abs(h)].reshape(abs(h), stride)[:, :row_raw]
+        px = rows.reshape(-1, 3).astype(np.float64)
+        feat = np.zeros(self.feature_dim, dtype=np.float32)
+        feat[:3] = (px.mean(axis=0) / 255.0) if len(px) else 0.0
+        feat[3] = w / 1024.0
+        feat[4] = abs(h) / 1024.0
+        return w, abs(h), byte_sum, feat
+
+    def _decode_audio(self, p: bytes):
+        if len(p) < 44 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+            raise ValueError("not a WAV payload")
+        channels = struct.unpack_from("<H", p, 22)[0]
+        sample_rate = struct.unpack_from("<I", p, 24)[0]
+        bits = struct.unpack_from("<H", p, 34)[0]
+        data_size = struct.unpack_from("<I", p, 40)[0]
+        if channels != 1 or bits != 16:
+            raise ValueError("only PCM16 mono supported")
+        n_samples = data_size // 2
+        data = np.frombuffer(p, dtype=np.uint8, offset=44)
+        byte_sum = int(data.sum(dtype=np.int64))
+        samples = np.frombuffer(p, dtype="<i2", offset=44, count=n_samples).astype(np.float64)
+        feat = np.zeros(self.feature_dim, dtype=np.float32)
+        if len(samples):
+            feat[0] = samples.mean() / 32768.0
+            feat[1] = samples.std() / 32768.0
+        feat[2] = sample_rate / 48000.0
+        return n_samples, sample_rate, byte_sum, feat
+
+    def _decode_video(self, p: bytes):
+        # STUB — no demuxer in this container; deterministic fake
+        h = zlib.crc32(p)
+        rng = np.random.RandomState(h % (2**31))
+        feat = rng.rand(self.feature_dim).astype(np.float32)
+        byte_sum = int(np.frombuffer(p, dtype=np.uint8).sum(dtype=np.int64))
+        return 0, 0, byte_sum, feat
+
+    def _decode(self, payload: bytes, media_type: str):
+        if media_type == "image":
+            return self._decode_image(payload)
+        if media_type == "audio":
+            return self._decode_audio(payload)
+        return self._decode_video(payload)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id")
+        types = batch.column("media_type").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        w_out, h_out, n_bytes, sums, feats = [], [], [], [], []
+        for t, p in zip(types, payloads):
+            w, h, s, f = self._decode(p, t)
+            w_out.append(w)
+            h_out.append(h)
+            n_bytes.append(len(p))
+            sums.append(s)
+            feats.append(f)
+        return pa.Table.from_arrays(
+            [
+                ids,
+                pa.array(types, pa.string()),
+                pa.array(n_bytes, pa.int64()),
+                pa.array(w_out, pa.int32()),
+                pa.array(h_out, pa.int32()),
+                pa.array(sums, pa.int64()),
+                pa.array([f.tolist() for f in feats], pa.list_(pa.float32())),
+            ],
+            names=["media_id", "media_type", "n_bytes", "width", "height",
+                   "byte_sum", "features"],
+        )
+
+
+# backwards-compat alias (round-2 name)
+DecoderStub = MediaDecoder
+
+
+def decode_media(ds: ray.data.Dataset, *, concurrency: int | tuple[int, int] = 2,
+                 batch_size: int = 64) -> ray.data.Dataset:
+    """Actor-pool decode: small batches (payload-heavy rows), Arrow
+    batch format (binary-safe), decoder loaded once per actor."""
+    return ds.map_batches(
+        MediaDecoder,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def ensure_media_parquet(sf_dir: str, base: str = "/tmp/graft_data") -> str:
-    """Materialize the deterministic media table once per scale so the
-    Ray pipeline and the SQL oracle read the identical binary payloads."""
+    """Materialize the deterministic media table once per (scale, payload
+    version) so the Ray pipeline and the SQL oracle read the identical
+    binary payloads."""
     import os
 
     from ..sources.transcripts import sf_of_dir
 
     n = max(60, int(6_000 * sf_of_dir(sf_dir)))
-    path = f"{base}/media_n{n}.parquet"
+    path = f"{base}/media_v{_MEDIA_VERSION}_n{n}.parquet"
     if not os.path.exists(path):
+        import uuid
+
         import pyarrow.parquet as pq
 
         os.makedirs(base, exist_ok=True)
-        tmp = path + ".tmp"
+        tmp = f"{path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
         pq.write_table(synth_media_table(n), tmp)
         os.replace(tmp, path)
     return path
@@ -136,8 +256,7 @@ def media_stats(sf_dir: str) -> ray.data.Dataset:
     """Per-type payload statistics straight off the binary column —
     partial Arrow aggregation (count/sum/min/max of octet length) per
     batch, tiny final groupby. Exercises the binary-column path end to
-    end with a value-checkable SQL oracle (octet_length), unlike the
-    stub-codec features which are rows-only by design."""
+    end with a value-checkable SQL oracle (octet_length)."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Max, Min, Sum
 
@@ -177,11 +296,53 @@ def media_stats_oracle_sql(path: str) -> str:
 
 
 def media_features(sf_dir: str) -> ray.data.Dataset:
-    """Query entry: synthesize a deterministic media table scaled like the
-    driver tables and run the decode actor pool over it (rows-only check:
-    the stub codec has no SQL equivalent)."""
-    from ..sources.transcripts import sf_of_dir
-
-    n = max(60, int(6_000 * sf_of_dir(sf_dir)))
-    ds = ray.data.from_arrow(synth_media_table(n))
+    """Query entry: the decode actor pool over the materialized media
+    table. Width/height/byte_sum come from real BMP/WAV header parsing,
+    reproduced independently by ``media_features_oracle_sql`` over the
+    raw payload bytes (the embedding vector is dropped here — floats
+    don't hash-compare; its determinism is pinned by pytest)."""
+    ds = ray.data.read_parquet(ensure_media_parquet(sf_dir))
     return decode_media(ds).drop_columns(["features"])
+
+
+def _le32(hex_col: str, off: int) -> str:
+    """SQL: little-endian uint32 read from 0-based byte offset ``off`` of
+    a hex(payload) string column."""
+    b = [f"substr({hex_col}, {2 * (off + k) + 1}, 2)" for k in range(4)]
+    return f"('0x' || {b[3]} || {b[2]} || {b[1]} || {b[0]})::BIGINT"
+
+
+def media_features_oracle_sql(path: str) -> str:
+    """DuckDB oracle for media_features, computed purely from the payload
+    bytes: BMP width/height and pixel-array offset are little-endian u32
+    reads at the documented header offsets (10/18/22); WAV n_samples and
+    sample_rate likewise (data size at 40, rate at 24, data at 44); the
+    byte checksum re-sums every payload byte from the data offset via
+    hex-pair arithmetic."""
+    return f"""
+WITH m AS (
+  SELECT media_id, media_type, hex(payload) AS h,
+         octet_length(payload)::BIGINT AS n_bytes
+  FROM read_parquet('{path}')
+), parsed AS (
+  SELECT media_id, media_type, n_bytes,
+    CASE media_type
+      WHEN 'image' THEN {_le32('h', 18)}
+      WHEN 'audio' THEN {_le32('h', 40)} // 2
+      ELSE 0 END::INTEGER AS width,
+    CASE media_type
+      WHEN 'image' THEN {_le32('h', 22)}
+      WHEN 'audio' THEN {_le32('h', 24)}
+      ELSE 0 END::INTEGER AS height,
+    CASE media_type
+      WHEN 'image' THEN {_le32('h', 10)}
+      WHEN 'audio' THEN 44
+      ELSE 0 END::BIGINT AS data_off,
+    h
+  FROM m
+)
+SELECT media_id, media_type, n_bytes, width, height,
+  list_sum(list_transform(range(data_off, n_bytes),
+           i -> ('0x' || substr(h, 2*i + 1, 2))::INT))::BIGINT AS byte_sum
+FROM parsed
+"""
