@@ -145,3 +145,84 @@ def test_bundled_input_key_phenomena():
     assert "С." in l11_console
     # "9,5 млн руб." -> NUM (digits+punct) at line 12 tail
     assert l12.count("[%NUM%]") >= 2
+
+
+def test_bundled_input_label_snapshot():
+    """POS/NER label sequences for all 15 bundled-input lines, BOTH dot
+    variants, pinned in fixtures/reference_input_labels.json (VERDICT r2
+    Next #3). Beyond raw snapshot equality, re-assert the hand-derived
+    invariants from the reference's post-correction rules so the pin is
+    reviewable line by line, not self-referential:
+    PosTaggerExtensions.cs:23-37 (Num->Numeral, Url/Email->Other,
+    punct-flag->Punctuation) and the BIO classes of main.js:81-89."""
+    import json
+    import os
+
+    import pytest
+
+    if not os.path.exists(_REF_INPUT):
+        pytest.skip("reference bundled input not available")
+    import pyarrow as pa
+
+    from lingvo__postagger_ner_ru_dnn_ray.stages.tag import TaggerStage
+    from lingvo__postagger_ner_ru_dnn_ray.textkit.tokenizer import (
+        tokenize_text_console,
+    )
+
+    lines = [
+        l for l in open(_REF_INPUT, encoding="utf-8-sig").read().splitlines() if l.strip()
+    ]
+    want = json.load(open(os.path.join(os.path.dirname(__file__), "..",
+                                       "fixtures", "reference_input_labels.json")))
+    assert len(want) == 15
+    ts = TaggerStage()
+
+    def tag(sent_words):
+        batch = pa.table({
+            "values": pa.array([[w.value for w in ws] for ws in sent_words],
+                               pa.list_(pa.string())),
+            "input_types": pa.array(
+                [[w.input_type for w in ws] for ws in sent_words], pa.list_(pa.int32())),
+            "extras": pa.array([[w.extra for w in ws] for ws in sent_words],
+                               pa.list_(pa.int32())),
+        })
+        out = ts(batch)
+        return out.column("pos").to_pylist(), out.column("ner").to_pylist()
+
+    valid_ner = {"O", "B-PER", "I-PER", "B-ORG", "I-ORG", "B-LOC", "I-LOC"}
+    for line, snap in zip(lines, want):
+        sents = tokenize_text(line)
+        pos, ner = tag(sents)
+        assert [[w.value for w in ws] for ws in sents] == [
+            s["tokens"] for s in snap["simple"]
+        ], line
+        assert pos == [s["pos"] for s in snap["simple"]], line
+        assert ner == [s["ner"] for s in snap["simple"]], line
+        cw = tokenize_text_console(line)
+        c_pos, c_ner = tag([cw])
+        assert [w.value for w in cw] == snap["console"]["tokens"], line
+        assert c_pos[0] == snap["console"]["pos"], line
+        assert c_ner[0] == snap["console"]["ner"], line
+        # post-correction invariants (reference rules), on the snapshot
+        for s in snap["simple"] + [snap["console"]]:
+            for tok, p, n in zip(s["tokens"], s["pos"], s["ner"]):
+                if tok == "[%NUM%]":
+                    assert p == "Numeral"  # PosTaggerExtensions.cs:23-26
+                if tok in {".", ",", "(", ")", '"', "-"}:
+                    assert p == "Punctuation"
+                assert n in valid_ner
+
+    # known-mention classes from the bundled text (README entity classes)
+    flat = {}
+    for snap in want:
+        for s in snap["simple"]:
+            for tok, n in zip(s["tokens"], s["ner"]):
+                flat.setdefault(tok, set()).add(n)
+    assert flat["Петербурге"] == {"B-LOC"}
+    assert flat["РФ"] == {"B-LOC"}
+    assert flat["СКР"] == {"B-ORG"}
+    assert flat["Минобороны"] == {"B-ORG"}
+    assert flat["Транзас"] == {"B-ORG"}
+    assert flat["Сергея"] == {"B-PER"}
+    assert flat["Козлова"] <= {"I-PER"}
+    assert flat["Истра"] == {"B-LOC"}
