@@ -433,10 +433,7 @@ def _dataops_sql() -> dict[str, str]:
             "SELECT user_id, count(*)::BIGINT AS n_events FROM events "
             "GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 20"
         ),
-        "doc_sample": (
-            "SELECT doc_id, length(text)::BIGINT AS n_chars FROM documents "
-            "WHERE md5_number_upper(doc_id::VARCHAR) % 100 < 10"
-        ),
+        "doc_sample": d.doc_sample_oracle_sql(),
         "supplier_topk_per_nation": (
             "SELECT s_nationkey, row_number() OVER (PARTITION BY s_nationkey "
             "ORDER BY cast(round(s_acctbal*100) AS BIGINT) DESC, s_suppkey) AS rank, "

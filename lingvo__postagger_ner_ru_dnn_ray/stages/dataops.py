@@ -37,13 +37,27 @@ def _cents(x) -> pa.Array:
 # --------------------------------------------------------------------------- #
 # exact dedup: hash-partition on content hash + per-group representative
 
+_TEXT_MD5_MEMO: dict[str, str] = {}  # per-worker; duplicate-heavy corpora hit it
+
+
+def _text_md5(t: str) -> str:
+    h = _TEXT_MD5_MEMO.get(t)
+    if h is None:
+        if len(_TEXT_MD5_MEMO) > 100_000:  # bound worker heap (keys are texts)
+            _TEXT_MD5_MEMO.clear()
+        h = _TEXT_MD5_MEMO[t] = hashlib.md5(t.encode()).hexdigest()
+    return h
+
+
 def doc_dedup_exact(sf_dir: str) -> ray.data.Dataset:
     """Keep min(doc_id) per exact text duplicate group.
     Oracle: GROUP BY md5(text). The hash is only the shuffle key — grouping
-    is identical for any collision-free hash, so values match the oracle."""
+    is identical for any collision-free hash, so values match the oracle.
+    (md5 itself can't be vectorized from Python; the per-worker memo
+    absorbs the duplicate mass, which is exactly the hot case here.)"""
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        h = [hashlib.md5(t.encode()).hexdigest() for t in batch.column("text").to_pylist()]
+        h = [_text_md5(t) for t in batch.column("text").to_pylist()]
         return pa.Table.from_arrays(
             [batch.column("doc_id"), pa.array(h, pa.string())], names=["doc_id", "h"]
         )
@@ -1030,17 +1044,62 @@ _IVF_CLUSTERS = 16
 _IVF_NPROBE = 4
 
 
-def _ivf_centroids(sample: np.ndarray, k: int, iters: int = 5) -> np.ndarray:
-    """Deterministic Lloyd iterations on a driver-side sample (k-means--).
-    At 100 TB the sample is a bounded random_shuffle().limit() draw."""
-    c = sample[:k].copy()
+def _ivf_centroids_distributed(
+    emb: ray.data.Dataset, k: int = _IVF_CLUSTERS, iters: int = 3
+) -> np.ndarray:
+    """DISTRIBUTED spherical k-means over the full embedding table: each
+    iteration is one streaming pass — per-batch assign + per-cluster
+    (sum, count) partials, a k-group combine, and a k-row driver pull
+    (the only driver materialization; bounded by k, never by the data).
+    Partial rows carry the batch's min vec_id and the combine sums in
+    that order, so the float reduction is deterministic regardless of
+    block arrival order. Init = the k lowest vec_ids (bounded pull)."""
+    head = emb.filter(expr=f"vec_id < {k}").to_pandas()  # k rows
+    c = np.stack(head.sort_values("vec_id")["embedding"].to_numpy()).astype(np.float64)
+    c = c / np.linalg.norm(c, axis=1, keepdims=True)
     for _ in range(iters):
-        d = ((sample[:, None, :] - c[None, :, :]) ** 2).sum(-1)
-        assign = d.argmin(1)
-        for j in range(k):
-            m = assign == j
-            if m.any():
-                c[j] = sample[m].mean(0)
+        ref = ray.put(c)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            cent = ray.get(ref)
+            kk, dim = cent.shape
+            M = np.stack(batch.column("embedding").to_pandas().to_numpy()).astype(np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            assign = (Mn @ cent.T).argmax(1)
+            sums = np.zeros((kk, dim))
+            np.add.at(sums, assign, Mn)
+            counts = np.bincount(assign, minlength=kk).astype(np.int64)
+            pk = int(np.asarray(batch.column("vec_id")).min())
+            return pa.Table.from_arrays(
+                [pa.array(np.arange(kk, dtype=np.int64)), pa.array(counts),
+                 pa.array([r.tolist() for r in sums], pa.list_(pa.float64())),
+                 pa.array([pk] * kk, pa.int64())],
+                names=["cluster", "n", "vec_sum", "part_key"],
+            )
+
+        def combine(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values("part_key")  # deterministic float-sum order
+            s = np.sum(np.stack(g["vec_sum"].to_numpy()), axis=0)
+            return pd.DataFrame({
+                "cluster": pd.Series([int(g["cluster"].iloc[0])], dtype="int64"),
+                "n": pd.Series([int(g["n"].sum())], dtype="int64"),
+                "vec_sum": pd.Series([s.tolist()], dtype="object"),
+            })
+
+        agg = (
+            emb.map_batches(partials, batch_format="pyarrow")
+            .groupby("cluster")
+            .map_groups(combine, batch_format="pandas")
+            .to_pandas()  # k rows — bounded
+        )
+        newc = c.copy()
+        for _, row in agg.iterrows():
+            if row["n"] > 0:
+                v = np.asarray(row["vec_sum"], dtype=np.float64) / row["n"]
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    newc[int(row["cluster"])] = v / nv
+        c = newc
     return c
 
 
@@ -1050,11 +1109,9 @@ def emb_ann_ivf(sf_dir: str) -> ray.data.Dataset:
     broadcast once; per-batch work is two numpy matmuls over the probed
     subset. Approximate (recall tested vs the brute-force baseline)."""
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    head = emb.filter(expr="vec_id < 256").to_pandas()
-    sample = np.stack(head["embedding"].to_numpy()).astype(np.float64)
-    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
-    cent = _ivf_centroids(sample, _IVF_CLUSTERS)
-    cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    # centroids trained DISTRIBUTED (partial-sum k-means over the whole
+    # table; only k rows ever reach the driver), then broadcast once
+    cent = _ivf_centroids_distributed(emb, _IVF_CLUSTERS)
 
     qdf = emb.filter(expr=f"vec_id < {_ANN_N_QUERIES}").to_pandas()
     Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
@@ -1473,21 +1530,36 @@ _SAMPLE_PCT = 10
 
 
 def doc_sample(sf_dir: str) -> ray.data.Dataset:
-    """Keep ~10% of documents by md5(doc_id) % 100 — the deterministic
-    sampling a resumable 100-TB pipeline uses instead of RNG state (same
-    rows on re-run, no coordination, SQL-reproducible)."""
+    """Keep ~10% of documents by a multiply-shift hash of doc_id — the
+    deterministic sampling a resumable 100-TB pipeline uses instead of
+    RNG state (same rows on re-run, no coordination, SQL-reproducible).
+    The hash is one vectorized numpy expression (uint64 golden-ratio
+    multiply >> 33, mod 100); DuckDB reproduces it exactly with HUGEINT
+    arithmetic — no per-row Python/md5 in the hot path."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        keep = [(_md5_u64(str(i)) % 100) < _SAMPLE_PCT for i in ids]
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        h = (
+            (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            >> np.uint64(33)
+        ) % np.uint64(100)
         t = pa.Table.from_arrays(
             [batch.column("doc_id"),
              pc.cast(pc.utf8_length(batch.column("text")), pa.int64())],
             names=["doc_id", "n_chars"],
         )
-        return t.filter(pa.array(keep, pa.bool_()))
+        return t.filter(pa.array(h < _SAMPLE_PCT))
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+def doc_sample_oracle_sql() -> str:
+    # 11400714819323198485 = 0x9E3779B97F4A7C15; // 8589934592 = >> 33
+    return (
+        "SELECT doc_id, length(text)::BIGINT AS n_chars FROM documents "
+        "WHERE ((((doc_id::HUGEINT * 11400714819323198485) % 18446744073709551616)"
+        f" // 8589934592) % 100)::BIGINT < {_SAMPLE_PCT}"
+    )
 
 
 # --------------------------------------------------------------------------- #

@@ -39,9 +39,17 @@ class KgStage:
     """transcript rows -> linked triple rows (one actor = both DNNs + the
     broadcast entity dictionary, loaded once)."""
 
-    def __init__(self, dict_ref=None, artifact_dir: str | None = None):
+    def __init__(self, dict_ref=None, artifact_dir: str | None = None,
+                 input_type_processor: str | None = None):
+        """``input_type_processor``: NAME of a registered plug-in
+        (plugins.input_type_processor) — the TokenizerConfig
+        PosTaggerInputTypeProcessor slot; names (not callables) so the
+        kwarg serializes cleanly into actor constructors."""
+        from ..plugins import input_type_processor as _resolve
+
         self.tagger = TaggerStage(artifact_dir=artifact_dir)
         self.linker = LinkerStage(dict_ref=dict_ref, columns=("subj", "obj"))
+        self.itp = _resolve(input_type_processor)
 
     def call_modular(self, batch: pa.Table) -> pa.Table:
         """The stage-by-stage composition — the reference implementation
@@ -64,7 +72,7 @@ class KgStage:
         for c, t, x in zip(conv, turn, text):
             if not x:
                 continue
-            for si, words in enumerate(tokenize_text(x)):
+            for si, words in enumerate(tokenize_text(x, input_type_processor=self.itp)):
                 sent_meta.append((c, t, si))
                 sent_words.append(words)
 

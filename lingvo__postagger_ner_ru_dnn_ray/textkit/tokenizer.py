@@ -83,9 +83,11 @@ class _SentTokenizer:
     __slots__ = (
         "u", "ul", "n", "s", "end", "words", "start_index", "cur_len",
         "is_prev_num", "last_num", "replace_nums", "dot_variant", "cts", "sps",
+        "itp",
     )
 
-    def __init__(self, u16, replace_nums: bool, dot_variant: str = "simple"):
+    def __init__(self, u16, replace_nums: bool, dot_variant: str = "simple",
+                 input_type_processor=None):
         self.u = u16
         self.ul = u16.tolist()  # per-char access path
         # one vectorized LUT gather per text replaces two Python LUT
@@ -98,6 +100,9 @@ class _SentTokenizer:
         # "console": keep a dot in the word; flush immediately when the next
         #            char is uppercase (batch path, Tokenizer.cs:491-497)
         self.dot_variant = dot_variant
+        # pluggable graphemic classifier — the IPosTaggerInputTypeProcessor
+        # config slot (TokenizerConfig.cs:20); None = the default _En port
+        self.itp = input_type_processor
 
     def ch(self, i: int) -> int:
         return self.ul[i] if 0 <= i < self.n else 0
@@ -146,16 +151,20 @@ class _SentTokenizer:
             self.is_prev_num = False
 
         key = self.u[start : start + length].tobytes()
-        hit = _TOKEN_MEMO.get(key)
+        # the shared memo is only valid for the default processor — a
+        # custom input_type_processor computes uncached
+        hit = _TOKEN_MEMO.get(key) if self.itp is None else None
         if hit is None:
             value = xlat.from_u16(self.u, start, length)
             upper = xlat.from_u16(_UPN[self.u[start : start + length]], 0, length)
-            input_type, extra = get_input_type(self.ul, start, length)
+            input_type, extra = (self.itp or get_input_type)(self.ul, start, length)
             upper_uml = normalize_umlautes(upper, upper=True) if extra & EX_HAS_UMLAUTES else None
             value = _clear_value_original(value, extra, self.u, start, length)
-            if len(_TOKEN_MEMO) > _TOKEN_MEMO_MAX:
-                _TOKEN_MEMO.clear()
-            _TOKEN_MEMO[key] = hit = (value, upper, input_type, extra, upper_uml)
+            hit = (value, upper, input_type, extra, upper_uml)
+            if self.itp is None:
+                if len(_TOKEN_MEMO) > _TOKEN_MEMO_MAX:
+                    _TOKEN_MEMO.clear()
+                _TOKEN_MEMO[key] = hit
         value, upper, input_type, extra, upper_uml = hit
         self.words.append(Word(value, upper, start, length, input_type, extra, upper_uml))
         self.start_index += length
@@ -385,13 +394,16 @@ def _clear_value_original(v: str, extra: int, u, start: int, length: int) -> str
     return v
 
 
-def tokenize_text(text: str, replace_nums: bool = True) -> list[list[Word]]:
+def tokenize_text(text: str, replace_nums: bool = True,
+                  input_type_processor=None) -> list[list[Word]]:
     """TryTokenizeBySents (PosTaggerExtensions.cs:61-72): Simple sentence
-    split + Simple tokenize per sentence, empty sentences dropped."""
+    split + Simple tokenize per sentence, empty sentences dropped.
+    ``input_type_processor`` swaps the graphemic classifier (the
+    IPosTaggerInputTypeProcessor slot); None = the default _En port."""
     u = xlat.to_u16(text)
     urls = allocate_urls(text, u)
     sents = split_sents_simple(text, u, urls)
-    tk = _SentTokenizer(u, replace_nums)
+    tk = _SentTokenizer(u, replace_nums, input_type_processor=input_type_processor)
     out = []
     for sent in sents:
         words = tk.tokenize(sent)
