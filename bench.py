@@ -40,7 +40,7 @@ def _run_scaling() -> None:
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_KG_ONLY="1",
             GRAFT_BENCH_TURNS=str(max(8000, int(9_600_000 * sf))),
-            GRAFT_BENCH_RUNS="2",  # best-of-2 inside each process
+            GRAFT_BENCH_RUNS="1",  # one run per child; pairing dedups noise
         )
         out = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
@@ -50,25 +50,64 @@ def _run_scaling() -> None:
 
     lo, hi = 8, 32
     # this sandbox VM suffers heavy, bursty CPU steal (identical configs
-    # vary ±2.5×); each level runs best-of-2 inside its process (child
-    # GRAFT_BENCH_RUNS=2), approximating the un-throttled measurement
-    rs_lo = [run(lo)]
-    rs_hi = [run(hi)]
-    r_lo = min(rs_lo, key=lambda r: r["value"])
-    r_hi = min(rs_hi, key=lambda r: r["value"])
-    t_lo, t_hi = r_lo["value"], r_hi["value"]
-    eff = (t_lo / t_hi) / (hi / lo)
+    # vary ±2.5×, in hour-scale bands). INTERLEAVE the two levels
+    # lo,hi,lo,hi,… so a steal band hits temporally-adjacent samples of
+    # BOTH levels equally, then report the per-pair efficiencies (the
+    # pairing cancels the band) plus the best-of-level summary.
+    pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "3"))
+    t_lo_s, t_hi_s, effs = [], [], []
+    sf_seen = None
+    for _ in range(pairs):
+        r_lo = run(lo)
+        r_hi = run(hi)
+        sf_seen = r_hi.get("sf")
+        t_lo_s.append(r_lo["value"])
+        t_hi_s.append(r_hi["value"])
+        effs.append(round((r_lo["value"] / r_hi["value"]) / (hi / lo), 3))
+    effs_sorted = sorted(effs)
+    median_eff = effs_sorted[len(effs_sorted) // 2]
+    best_eff = round((min(t_lo_s) / min(t_hi_s)) / (hi / lo), 3)
     print(json.dumps({
         "metric": "kg_e2e_scaling",
-        f"sec_{lo}": t_lo,
-        f"sec_{hi}": t_hi,
-        f"sec_{lo}_samples": r_lo.get("queries", {}).get("kg_e2e_samples"),
-        f"sec_{hi}_samples": r_hi.get("queries", {}).get("kg_e2e_samples"),
-        f"turns_per_sec_{lo}": r_lo.get("turns_per_sec"),
-        f"turns_per_sec_{hi}": r_hi.get("turns_per_sec"),
-        "scaling_efficiency": round(eff, 3),
-        "sf": r_hi.get("sf"),
+        f"sec_{lo}": min(t_lo_s),
+        f"sec_{hi}": min(t_hi_s),
+        f"sec_{lo}_samples": t_lo_s,
+        f"sec_{hi}_samples": t_hi_s,
+        "pair_efficiencies": effs,
+        "scaling_efficiency": median_eff,  # median of interleaved pairs
+        "scaling_efficiency_best": best_eff,
+        "sf": sf_seen,
     }))
+
+
+def _parse_stage_stats(stats_text: str) -> list[dict]:
+    """Compact per-operator summary out of ds.stats(): wall-clock the
+    operator ran, total remote wall/cpu across its tasks, rows out —
+    the §2.5 epoch/throughput-counter surface
+    (BaseSeq2SeqFramework.cs:261-321 analogue)."""
+    import re
+
+    def to_s(num: str, unit: str) -> float:
+        return float(num) * {"us": 1e-6, "ms": 1e-3, "s": 1.0}[unit]
+
+    out: list[dict] = []
+    cur: dict | None = None
+    for line in stats_text.splitlines():
+        m = re.match(r"Operator (\d+) (.+?): .* in ([\d.]+)s", line)
+        if m:
+            cur = {"op": m.group(2), "ran_s": float(m.group(3))}
+            out.append(cur)
+            continue
+        if cur is None:
+            continue
+        m = re.match(r"\* Remote (wall|cpu) time: .* ([\d.]+)(us|ms|s) total", line.strip())
+        if m:
+            cur[f"{m.group(1)}_total_s"] = round(to_s(m.group(2), m.group(3)), 3)
+            continue
+        m = re.match(r"\* Output num rows per block: .* (\d+) total", line.strip())
+        if m:
+            cur["rows_out"] = int(m.group(1))
+    return out
 
 
 def main() -> None:
@@ -124,17 +163,25 @@ def main() -> None:
     n_runs = int(os.environ.get("GRAFT_BENCH_RUNS", "3"))
     samples = []
     res = None
+    stage_stats: list = []
     for i in range(n_runs):
         out_dir = f"/tmp/bench_kg_{NUM_CPUS}_{i}"
         shutil.rmtree(out_dir, ignore_errors=True)
+        stats_raw: list = []
         t0 = time.perf_counter()
         # tag_concurrency=None -> fused stateless-task mode: warm workers
         # are reused and the scheduler fills every free CPU (stages/fused.py)
         res = run_kg_job(
             tpath, out_dir, num_partitions=16, resume=False,
-            tag_concurrency=None, tag_batch_size=512,
+            tag_concurrency=None, tag_batch_size=512, stats_out=stats_raw,
         )
-        samples.append(round(time.perf_counter() - t0, 3))
+        dt = round(time.perf_counter() - t0, 3)
+        if not samples or dt < min(samples):  # keep stats of the best run
+            stage_stats = [
+                {"stage": name, "operators": _parse_stage_stats(txt)}
+                for name, txt in stats_raw
+            ]
+        samples.append(dt)
         shutil.rmtree(out_dir, ignore_errors=True)
     kg_sec = min(samples)
     queries["kg_e2e"] = kg_sec
@@ -169,6 +216,7 @@ def main() -> None:
         "n_triples": n_triples,
         "turns_per_sec": round(n_turns / kg_sec, 1),
         "triples_per_sec": round(n_triples / kg_sec, 1),
+        "kg_stage_stats": stage_stats,
     }))
     ray.shutdown()
 

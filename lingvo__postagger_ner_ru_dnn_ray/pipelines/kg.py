@@ -159,12 +159,16 @@ def run_kg_job(
     resume: bool = True,
     tag_concurrency: int | tuple[int, int] | None = None,
     tag_batch_size: int = 512,
+    stats_out: list | None = None,
 ) -> dict:
     """End-to-end job: writes triples/, edges/, nodes/ under ``out_dir``,
     each hash-partitioned by conv_id (edges/nodes aggregated per partition —
     the global view is the sum over partitions) with lineage manifests.
     Returns summary counts. Idempotent: re-running after a partial failure
-    completes only missing partitions."""
+    completes only missing partitions. ``stats_out``: optional list that
+    receives (stage_name, ds.stats() text) per executed dataset — the
+    epoch/throughput-counter surface (BaseSeq2SeqFramework.cs:261-321
+    analogue) bench.py summarizes into its JSON."""
     p = num_partitions
     cfg = {"v": 1, "num_partitions": p, "input": str(input_path)}
     ch = mf.config_hash(cfg)
@@ -203,14 +207,18 @@ def run_kg_job(
     # contributes 1 to each endpoint, so per-endpoint sum of edge weights
     # equals conflate_nodes over the raw triples (one fewer full pass)
     triples.write_parquet(out["triples"], partition_cols=["part"])
+    if stats_out is not None:
+        stats_out.append(("triples", triples.stats()))
     tri_written = ray.data.read_parquet(out["triples"])
-    conflate_edges(tri_written, extra_keys=["part"]).write_parquet(
-        out["edges"], partition_cols=["part"]
-    )
+    edges_ds = conflate_edges(tri_written, extra_keys=["part"])
+    edges_ds.write_parquet(out["edges"], partition_cols=["part"])
+    if stats_out is not None:
+        stats_out.append(("edges", edges_ds.stats()))
     edges_written = ray.data.read_parquet(out["edges"])
-    nodes_from_edges(edges_written, extra_keys=["part"]).write_parquet(
-        out["nodes"], partition_cols=["part"]
-    )
+    nodes_ds = nodes_from_edges(edges_written, extra_keys=["part"])
+    nodes_ds.write_parquet(out["nodes"], partition_cols=["part"])
+    if stats_out is not None:
+        stats_out.append(("nodes", nodes_ds.stats()))
 
     rows = {}
     for t in tables:
