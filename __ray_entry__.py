@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_minhash_pairs": d.doc_minhash_pairs,
         "doc_dedup_minhash": d.doc_dedup_minhash,
         "doc_simhash": d.doc_simhash,
+        "doc_simhash_neardup_pairs": d.doc_simhash_neardup_pairs,
         "doc_fingerprint": d.doc_fingerprint,
         # --- text analysis
         "doc_token_count": d.doc_token_count,
@@ -317,6 +318,7 @@ def _dataops_sql() -> dict[str, str]:
             "FROM lineitem"
         ),
         "doc_simhash": d.SIMHASH_ORACLE_SQL,
+        "doc_simhash_neardup_pairs": d.SIMHASH_NEARDUP_ORACLE_SQL,
         "doc_fingerprint": d.FINGERPRINT_ORACLE_SQL,
         "doc_charlm_ppl": d.CHARLM_ORACLE_SQL,
         "doc_len_histogram": (

@@ -609,22 +609,28 @@ def _word_hash(w: str) -> int:
     return h
 
 
+def _simhash_arr(texts: list[str]) -> np.ndarray:
+    """64-bit SimHash per text (int64, offset by -2^63 so it round-trips
+    Arrow/DuckDB BIGINT). Word hashes memoized per worker; the bit-vote
+    is one vectorized numpy reduction per document."""
+    shifts = np.arange(64, dtype=np.uint64)
+    weights = (np.uint64(1) << shifts).astype(np.uint64)
+    out = np.empty(len(texts), dtype=np.int64)
+    for r, text in enumerate(texts):
+        hs = np.array([_word_hash(w) for w in text.split(" ")], dtype=np.uint64)
+        bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)  # [W, 64]
+        acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+        val = int(weights[acc > 0].sum(dtype=np.uint64))
+        out[r] = val - (1 << 63)
+    return out
+
+
 def doc_simhash(sf_dir: str) -> ray.data.Dataset:
-    """64-bit SimHash over whitespace tokens. Word hashes are md5-derived
-    (memoized per worker — token frequency is Zipfian) and the bit-vote is
-    one vectorized numpy reduction per document; the driver oracle
-    recomputes the identical value in SQL via md5_number_upper."""
+    """64-bit SimHash over whitespace tokens; the driver oracle recomputes
+    the identical value in SQL via md5_number_upper."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        shifts = np.arange(64, dtype=np.uint64)
-        weights = (np.uint64(1) << shifts).astype(np.uint64)
-        out = np.empty(batch.num_rows, dtype=np.int64)
-        for r, text in enumerate(batch.column("text").to_pylist()):
-            hs = np.array([_word_hash(w) for w in text.split(" ")], dtype=np.uint64)
-            bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)  # [W, 64]
-            acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-            val = int(weights[acc > 0].sum(dtype=np.uint64))
-            out[r] = val - (1 << 63)
+        out = _simhash_arr(batch.column("text").to_pylist())
         return pa.Table.from_arrays(
             [batch.column("doc_id"), pa.array(out)], names=["doc_id", "simhash"]
         )
@@ -643,6 +649,155 @@ SELECT doc_id,
   (sum(CASE WHEN acc > 0 THEN (1::UBIGINT << i)::HUGEINT ELSE 0 END)
    - 9223372036854775808::HUGEINT)::BIGINT AS simhash
 FROM b GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------- #
+# SimHash near-duplicate pairs — hamming-ball search via chunk buckets
+
+_SIMHASH_CHUNKS = 4  # 4×16-bit chunks: hamming ≤ 3 => ≥1 chunk equal
+_SIMHASH_MAX_HAMMING = _SIMHASH_CHUNKS - 1
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array."""
+    b = np.unpackbits(np.ascontiguousarray(x).view(np.uint8).reshape(-1, 8), axis=1)
+    return b.sum(axis=1).astype(np.int64)
+
+
+def doc_simhash_neardup_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Near-duplicate pairs with SimHash hamming distance ≤ 3 — the
+    hamming-ball companion to the Jaccard/MinHash family. The 64-bit
+    simhash splits into 4×16-bit chunks; by pigeonhole any pair within
+    hamming 3 agrees on ≥1 chunk, so candidates are exactly the
+    chunk-equality buckets (groupby on salt(chunk_idx, chunk_val) bounded
+    partitions, vectorized triu pair scan, per-bucket doc cap as in LSH).
+    Unlike the text-verified MinHash path, verification needs only the
+    two 64-bit signatures — they ride along with the bucket rows, so the
+    hamming check happens inside the candidate group with one vectorized
+    popcount; no second join. Output: (doc_a, doc_b, hamming)."""
+
+    def to_chunks(batch: pa.Table) -> pa.Table:
+        sims = _simhash_arr(batch.column("text").to_pylist())
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        u = sims.view(np.uint64)
+        n = len(ids)
+        ids_r = np.repeat(ids, _SIMHASH_CHUNKS)
+        sims_r = np.repeat(sims, _SIMHASH_CHUNKS)
+        chunk_idx = np.tile(np.arange(_SIMHASH_CHUNKS, dtype=np.int64), n)
+        shifts = (chunk_idx.astype(np.uint64)) * np.uint64(16)
+        chunk_val = (
+            (np.repeat(u, _SIMHASH_CHUNKS) >> shifts) & np.uint64(0xFFFF)
+        ).astype(np.int64)
+        salt = (
+            (chunk_val.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            ^ (chunk_idx.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))
+        ) % np.uint64(_MH_N_SALTS)
+        return pa.Table.from_arrays(
+            [pa.array(ids_r), pa.array(chunk_idx), pa.array(chunk_val),
+             pa.array(sims_r), pa.array(salt.astype(np.int64))],
+            names=["doc_id", "chunk_idx", "chunk_val", "simhash", "salt"],
+        )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group[group.duplicated(["chunk_idx", "chunk_val"], keep=False)]
+        empty = pd.DataFrame({
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "hamming": pd.Series([], dtype="int64"),
+        })
+        if g.empty:
+            return empty
+        a_out, b_out, h_out = [], [], []
+        dropped = 0
+        for _, sub in g.groupby(["chunk_idx", "chunk_val"], sort=False):
+            sub = sub.drop_duplicates("doc_id").sort_values("doc_id")
+            ids = sub["doc_id"].to_numpy(dtype=np.int64)
+            if len(ids) > _LSH_BUCKET_DOC_CAP:
+                dropped += len(ids) - _LSH_BUCKET_DOC_CAP
+                sub = sub.iloc[:_LSH_BUCKET_DOC_CAP]
+                ids = ids[:_LSH_BUCKET_DOC_CAP]
+            sims = sub["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
+            ii, jj = np.triu_indices(len(ids), k=1)
+            ham = _popcount64(sims[ii] ^ sims[jj])
+            keep = ham <= _SIMHASH_MAX_HAMMING
+            a_out.append(ids[ii][keep])
+            b_out.append(ids[jj][keep])
+            h_out.append(ham[keep])
+        if dropped:
+            print(
+                f"[doc_simhash_neardup_pairs] bucket cap {_LSH_BUCKET_DOC_CAP}: "
+                f"dropped {dropped} docs from pair emission"
+            )
+        if not a_out:
+            return empty
+        return pd.DataFrame({
+            "doc_a": pd.Series(np.concatenate(a_out), dtype="int64"),
+            "doc_b": pd.Series(np.concatenate(b_out), dtype="int64"),
+            "hamming": pd.Series(np.concatenate(h_out), dtype="int64"),
+        })
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64())] * 4,
+                names=["doc_a", "doc_b", "hamming", "salt"],
+            )
+        a = np.asarray(batch.column("doc_a"), dtype=np.int64)
+        b = np.asarray(batch.column("doc_b"), dtype=np.int64)
+        key = (a << np.int64(32)) ^ b
+        return pa.Table.from_arrays(
+            [batch.column("doc_a"), batch.column("doc_b"),
+             batch.column("hamming"), pa.array(_key_salt(key))],
+            names=["doc_a", "doc_b", "hamming", "salt"],
+        )
+
+    def distinct(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop_duplicates(["doc_a", "doc_b"])
+        return pd.DataFrame({
+            "doc_a": pd.Series(out["doc_a"].to_numpy(), dtype="int64"),
+            "doc_b": pd.Series(out["doc_b"].to_numpy(), dtype="int64"),
+            "hamming": pd.Series(out["hamming"].to_numpy(), dtype="int64"),
+        })
+
+    cand = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(to_chunks, batch_format="pyarrow")
+        .groupby("salt")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    return (
+        cand.map_batches(tag, batch_format="pyarrow")
+        .groupby("salt")
+        .map_groups(distinct, batch_format="pandas")
+    )
+
+
+SIMHASH_NEARDUP_ORACLE_SQL = f"""
+WITH w AS (
+  SELECT doc_id, md5_number_upper(unnest(string_split(text, ' '))) AS h FROM documents
+), bts AS (
+  SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM w, generate_series(0, 63) g(i) GROUP BY doc_id, i
+), sh AS (
+  SELECT doc_id,
+    (sum(CASE WHEN acc > 0 THEN (1::UBIGINT << i)::HUGEINT ELSE 0 END)
+     - 9223372036854775808::HUGEINT)::BIGINT AS simhash
+  FROM bts GROUP BY doc_id
+), chunks AS (
+  SELECT doc_id, simhash, c AS chunk_idx,
+    ((((simhash::HUGEINT + 9223372036854775808::HUGEINT)
+       // (1::HUGEINT << (c * 16))) % 65536))::BIGINT AS chunk_val
+  FROM sh, generate_series(0, {_SIMHASH_CHUNKS - 1}) g(c)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM chunks a JOIN chunks b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {_SIMHASH_MAX_HAMMING}
 """
 
 

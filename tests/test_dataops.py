@@ -14,6 +14,7 @@ SQL_QUERIES = [
     "doc_minhash_pairs",
     "doc_dedup_minhash",
     "doc_simhash",
+    "doc_simhash_neardup_pairs",
     "doc_fingerprint",
     "doc_token_count",
     "doc_quality",
