@@ -2,7 +2,7 @@
 
     read_parquet (column-pruned)
       -> [resume filter: drop conversations whose output partition is done]
-      -> sort(conv_id, turn_idx)          # stable turn ordering invariant
+      -> [optional sort(conv_id, turn_idx) — see run_kg_job(sort_turns=)]
       -> map_batches(tokenize_batch)      # stateless tasks, Arrow in/out
       -> map_batches(TaggerStage, concurrency=N)   # actor pool, 2 DNNs
       -> map_batches(triples_batch)       # per-sentence extraction
@@ -160,12 +160,27 @@ def run_kg_job(
     tag_concurrency: int | tuple[int, int] | None = None,
     tag_batch_size: int = 512,
     stats_out: list | None = None,
+    sort_turns: bool = False,
 ) -> dict:
     """End-to-end job: writes triples/, edges/, nodes/ under ``out_dir``,
     each hash-partitioned by conv_id (edges/nodes aggregated per partition —
     the global view is the sum over partitions) with lineage manifests.
     Returns summary counts. Idempotent: re-running after a partial failure
-    completes only missing partitions. ``stats_out``: optional list that
+    completes only missing partitions.
+
+    ``sort_turns`` (default False) controls the global (conv_id,
+    turn_idx) sort. Extraction is a pure per-turn function and every
+    output row is uniquely keyed by (conv_id, turn_idx, sent_idx,
+    triple_idx), so the emitted ROW SET — and the partitioned output
+    files, keyed by hash(conv_id) — are identical either way (pinned by
+    tests/test_pipeline_ray.py::test_kg_job_unsorted_equals_sorted): the
+    stable-turn-ordering invariant is carried by the KEYS, not by
+    physical block order. The sort was the single most expensive
+    exchange in the job (≈40 s of a 63 s run at 32 CPUs on the
+    960k-turn bench) and every downstream consumer is key-based, so the
+    default skips it — "minimize shuffles" — and ``sort_turns=True``
+    remains for consumers that want physically clustered conv ranges.
+    ``stats_out``: optional list that
     receives (stage_name, ds.stats() text) per executed dataset — the
     epoch/throughput-counter surface (BaseSeq2SeqFramework.cs:261-321
     analogue) bench.py summarizes into its JSON."""
@@ -191,7 +206,8 @@ def run_kg_job(
     ds = read_transcripts(input_path, override_num_blocks=max(64, pool * 8))
     if done:
         ds = ds.map_batches(_drop_done_parts(p, done), batch_format="pyarrow")
-    ds = ds.sort(["conv_id", "turn_idx"])
+    if sort_turns:
+        ds = ds.sort(["conv_id", "turn_idx"])
 
     triples = fused_linked_triples(
         ds, concurrency=tag_concurrency, batch_size=tag_batch_size

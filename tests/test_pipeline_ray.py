@@ -244,3 +244,25 @@ def test_deep_fused_equals_modular_chain(fixture_path, oracle):
     assert list(deep.columns) == list(modular.columns)
     k = TRIPLE_KEYS
     assert _sorted_df(deep, k).equals(_sorted_df(modular, k))
+
+
+def test_kg_job_unsorted_equals_sorted(fixture_path, tmp_path):
+    """The global (conv_id, turn_idx) sort is physical layout only: with
+    or without it, the job emits the identical keyed ROW SET into the
+    identical hash(conv_id) partitions — the stable-turn-ordering
+    invariant lives in the keys. This pins the sort_turns=False default
+    of run_kg_job."""
+    out_a = tmp_path / "kg_sorted"
+    out_b = tmp_path / "kg_unsorted"
+    run_kg_job(fixture_path, str(out_a), num_partitions=4, tag_concurrency=2,
+               sort_turns=True)
+    run_kg_job(fixture_path, str(out_b), num_partitions=4, tag_concurrency=2,
+               sort_turns=False)
+    for table, keys in (
+        ("triples", TRIPLE_KEYS + ["part"]),
+        ("edges", ["part", "subj_id", "pred", "obj_id"]),
+        ("nodes", ["part", "entity_id"]),
+    ):
+        a = pq.read_table(out_a / table)
+        b = pq.read_table(out_b / table)
+        assert _sorted_df(a, keys).equals(_sorted_df(b, keys)), table
