@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_ann_ivf": d.emb_ann_ivf,
         "emb_ann_ivf_recall": _emb_ann_ivf_recall,
         "emb_neardup_pairs": d.emb_neardup_pairs,
+        "emb_neardup_lsh": d.emb_neardup_lsh,
         # --- multimodal plumbing (stub codec; rows-only check)
         "media_features": _media_features,
         "media_stats": _media_stats,
@@ -377,6 +378,7 @@ def _dataops_sql() -> dict[str, str]:
             "WHERE a.vec_id < b.vec_id AND a.vec_id < 2000 AND b.vec_id < 2000 "
             "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45"
         ),
+        "emb_neardup_lsh": d.emb_neardup_lsh_oracle_sql(),
         "events_window": (
             "SELECT user_id, event_type, date_trunc('hour', ts) AS window_start, "
             "sum(cast(round(value*100) AS BIGINT))::BIGINT AS sum_cents, "

@@ -956,6 +956,155 @@ def emb_neardup_pairs(sf_dir: str) -> ray.data.Dataset:
 
 
 # --------------------------------------------------------------------------- #
+# embedding near-dup at scale: random-hyperplane LSH (no cap, no broadcast
+# of the corpus matrix)
+
+_EMB_LSH_BITS = 16
+_EMB_LSH_CHUNKS = 4  # 4×4-bit chunks: hamming ≤ 3 on the signature => candidate
+_EMB_LSH_QUANT = 1_000_000  # embeddings quantized to ints so the sign of the
+# plane dot product is EXACT integer arithmetic on both numpy and DuckDB
+_EMB_LSH_RNG = np.random.RandomState(7)
+_EMB_LSH_PLANES = _EMB_LSH_RNG.choice([-1, 1], size=(_EMB_LSH_BITS, 64)).astype(np.int64)
+
+
+def emb_neardup_lsh(sf_dir: str) -> ray.data.Dataset:
+    """Embedding-cosine near-dup pairs via random-hyperplane LSH — the
+    at-scale path (the brute-force emb_neardup_pairs broadcasts a capped
+    matrix; this one never materializes or broadcasts the corpus):
+
+    1. 16 sign bits per vector from ±1 hyperplanes over the 1e6-quantized
+       embedding (integer dot products — numpy and DuckDB agree exactly,
+       no float sign flips), split into 4×4-bit chunks.
+    2. Candidates = chunk-equality buckets (pigeonhole: signature hamming
+       ≤ 3 always collides) in salted bounded partitions, per-bucket doc
+       cap as in the text LSH.
+    3. Vectors ride along with the bucket rows, so verification
+       (cosine ≥ threshold) is one matmul inside the candidate group.
+
+    Approximate by design — recall vs the exact baseline is pinned by
+    pytest (hyperplane LSH at the 0.45 threshold trades recall for
+    never touching O(n²); at true near-dup thresholds (≥0.9) the same
+    structure approaches full recall). The SQL oracle reproduces the
+    identical approximate semantics."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def to_chunks(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+        M = np.stack(batch.column("embedding").to_pandas().to_numpy()).astype(np.float64)
+        Q = np.round(M * _EMB_LSH_QUANT).astype(np.int64)
+        bits = (Q @ _EMB_LSH_PLANES.T >= 0).astype(np.int64)  # [n, 16]
+        n = len(ids)
+        per = _EMB_LSH_BITS // _EMB_LSH_CHUNKS
+        w = 1 << np.arange(per, dtype=np.int64)
+        chunk_vals = np.stack(
+            [(bits[:, c * per:(c + 1) * per] * w).sum(1) for c in range(_EMB_LSH_CHUNKS)],
+            axis=1,
+        )  # [n, chunks]
+        ids_r = np.repeat(ids, _EMB_LSH_CHUNKS)
+        chunk_idx = np.tile(np.arange(_EMB_LSH_CHUNKS, dtype=np.int64), n)
+        cv = chunk_vals.reshape(-1)
+        salt = (
+            (cv.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            ^ (chunk_idx.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))
+        ) % np.uint64(_MH_N_SALTS)
+        # replicate the list column by take-indices
+        emb_col = batch.column("embedding")
+        take_idx = np.repeat(np.arange(n, dtype=np.int64), _EMB_LSH_CHUNKS)
+        emb_rep = (
+            emb_col.combine_chunks() if isinstance(emb_col, pa.ChunkedArray) else emb_col
+        ).take(pa.array(take_idx))
+        return pa.Table.from_arrays(
+            [pa.array(ids_r), pa.array(chunk_idx), pa.array(cv),
+             emb_rep, pa.array(salt.astype(np.int64))],
+            names=["vec_id", "chunk_idx", "chunk_val", "embedding", "salt"],
+        )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group[group.duplicated(["chunk_idx", "chunk_val"], keep=False)]
+        empty = pd.DataFrame({
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+        })
+        if g.empty:
+            return empty
+        a_out, b_out = [], []
+        dropped = 0
+        for _, sub in g.groupby(["chunk_idx", "chunk_val"], sort=False):
+            sub = sub.drop_duplicates("vec_id").sort_values("vec_id")
+            if len(sub) > _LSH_BUCKET_DOC_CAP:
+                dropped += len(sub) - _LSH_BUCKET_DOC_CAP
+                sub = sub.iloc[:_LSH_BUCKET_DOC_CAP]
+            ids = sub["vec_id"].to_numpy(dtype=np.int64)
+            E = np.stack(sub["embedding"].to_numpy()).astype(np.float64)
+            En = E / np.linalg.norm(E, axis=1, keepdims=True)
+            sims = En @ En.T
+            ii, jj = np.triu_indices(len(ids), k=1)
+            keep = sims[ii, jj] >= _NEARDUP_THRESH
+            a_out.append(ids[ii][keep])
+            b_out.append(ids[jj][keep])
+        if dropped:
+            print(
+                f"[emb_neardup_lsh] bucket cap {_LSH_BUCKET_DOC_CAP}: "
+                f"dropped {dropped} vectors from pair emission"
+            )
+        if not a_out:
+            return empty
+        return pd.DataFrame({
+            "doc_a": pd.Series(np.concatenate(a_out), dtype="int64"),
+            "doc_b": pd.Series(np.concatenate(b_out), dtype="int64"),
+        })
+
+    cand = (
+        emb.map_batches(to_chunks, batch_format="pyarrow")
+        .groupby("salt")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())]).empty_table()
+        return batch.rename_columns(["vec_a", "vec_b"])
+
+    return _distinct_pairs(cand).map_batches(
+        lambda b: rename(b), batch_format="pyarrow"
+    )
+
+
+def emb_neardup_lsh_oracle_sql() -> str:
+    # VALUES rows "(j, [1,-1,...])" — the hyperplane matrix as SQL literals
+    rows = []
+    for j in range(_EMB_LSH_BITS):
+        vals = ",".join(str(int(v)) for v in _EMB_LSH_PLANES[j])
+        rows.append(f"({j}, [{vals}])")
+    planes = ", ".join(rows)
+    per = _EMB_LSH_BITS // _EMB_LSH_CHUNKS
+    return f"""
+WITH q AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding, x -> round(x * {_EMB_LSH_QUANT})::BIGINT) AS qe
+  FROM embeddings
+), planes(j, h) AS (VALUES {planes}),
+bits AS (
+  SELECT vec_id, j,
+         CASE WHEN list_dot_product(qe, h) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM q, planes
+), chunks AS (
+  SELECT vec_id, j // {per} AS chunk_idx,
+         sum(bit * (1 << (j % {per})))::BIGINT AS chunk_val
+  FROM bits GROUP BY vec_id, j // {per}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM chunks a JOIN chunks b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+   AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b
+FROM cand c JOIN q ea ON c.vec_a = ea.vec_id JOIN q eb ON c.vec_b = eb.vec_id
+WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= {_NEARDUP_THRESH}
+"""
+
+
+# --------------------------------------------------------------------------- #
 # event-stream shaped: tumbling window + gap sessionization
 
 def events_window(sf_dir: str) -> ray.data.Dataset:

@@ -24,6 +24,7 @@ SQL_QUERIES = [
     "doc_len_histogram",
     "emb_ann_topk",
     "emb_neardup_pairs",
+    "emb_neardup_lsh",
     "events_window",
     "events_window_sliding",
     "events_sessions",
@@ -341,3 +342,19 @@ def test_ivf_centroid_training_distributed(ray_session, monkeypatch):
 
     monkeypatch.setattr(ray.data.Dataset, "to_pandas", guarded)
     assert emb_ann_ivf(SF).count() > 0
+
+
+def test_emb_lsh_subset_of_exact(ray_session):
+    """Hyperplane-LSH candidates verified >= threshold must be a subset of
+    the brute-force result (recall < 1 is the documented LSH tradeoff at
+    the 0.45 threshold; the SQL oracle reproduces the identical
+    approximate semantics)."""
+    from lingvo__postagger_ner_ru_dnn_ray.stages.dataops import (
+        emb_neardup_lsh,
+        emb_neardup_pairs,
+    )
+
+    lsh = emb_neardup_lsh(SF).to_pandas()
+    ex = emb_neardup_pairs(SF).to_pandas()
+    exact = set(zip(ex["vec_a"], ex["vec_b"]))
+    assert all((a, b) in exact for a, b in zip(lsh["vec_a"], lsh["vec_b"]))
