@@ -14,6 +14,7 @@ with ``ray.put``.
 from __future__ import annotations
 
 import hashlib
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -2194,6 +2195,52 @@ def _charlm_counts(texts) -> tuple[dict, dict]:
     return ctx, full
 
 
+def _charlm_counts_distributed(train: ray.data.Dataset) -> tuple[dict, dict]:
+    """DISTRIBUTED trigram trainer: per-batch Counter partials → salted
+    combine → one driver pull bounded by the DISTINCT-GRAM vocabulary
+    (≈ charset³ worst case, thousands in practice), never by the number
+    of training documents. Exact integer counts — identical model to the
+    sequential _charlm_counts, any training-set size."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            s = f"^^{t}$"
+            for i in range(len(s) - _LM_N + 1):
+                c[s[i : i + _LM_N]] += 1
+        grams = list(c.keys())
+        vals = np.fromiter(c.values(), dtype=np.int64, count=len(c))
+        salt = np.fromiter(
+            ((zlib.crc32(g.encode()) % _JOIN_SALTS) for g in grams),
+            dtype=np.int64, count=len(grams),
+        )
+        return pa.Table.from_arrays(
+            [pa.array(grams, pa.string()), pa.array(vals), pa.array(salt)],
+            names=["g", "c", "salt"],
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("g", as_index=False)["c"].sum()
+        return pd.DataFrame({
+            "g": out["g"], "c": pd.Series(out["c"].to_numpy(), dtype="int64"),
+        })
+
+    agg = (
+        train.map_batches(partials, batch_format="pyarrow")
+        .groupby("salt")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()  # bounded by distinct grams
+    )
+    full = dict(zip(agg["g"], agg["c"].astype(int)))
+    ctx: dict[str, int] = {}
+    for g, n in full.items():
+        c = g[:-1]
+        ctx[c] = ctx.get(c, 0) + n
+    return ctx, full
+
+
 def doc_charlm_ppl(sf_dir: str) -> ray.data.Dataset:
     """Per-doc char-trigram LM surprise with add-1 smoothing: emits
     (doc_id, n_grams, sum_millibits) where sum_millibits is the INTEGER sum
@@ -2201,16 +2248,15 @@ def doc_charlm_ppl(sf_dir: str) -> ray.data.Dataset:
     before the sum keeps the distributed result bit-exact and lets the
     DuckDB oracle reproduce it (integer sums are order-independent; a
     float mean would drift by summation order). Mean millibits/gram =
-    sum_millibits/n_grams for downstream filters. The LM trains once on
-    docs with doc_id < 100 and broadcasts via ray.put — at corpus scale
-    the trainer is itself a distributed partial-count groupby
-    (doc_token_freq pattern); here the training slice is bounded."""
+    sum_millibits/n_grams for downstream filters. The LM trains on docs
+    with doc_id < 100 via the DISTRIBUTED partial-count trainer
+    (_charlm_counts_distributed — driver pull bounded by the distinct-
+    gram vocabulary, never by training-doc count) and broadcasts the
+    count tables once via ray.put."""
     import math
 
-    train = (
-        _docs(sf_dir, ["doc_id", "text"]).filter(expr=f"doc_id < {_LM_TRAIN_CAP}").to_pandas()
-    )
-    ctx, full = _charlm_counts(train["text"].tolist())
+    train = _docs(sf_dir, ["doc_id", "text"]).filter(expr=f"doc_id < {_LM_TRAIN_CAP}")
+    ctx, full = _charlm_counts_distributed(train)
     vocab_size = len({g[-1] for g in full}) + 1
     ref = ray.put((ctx, full, vocab_size))
 
