@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_jaccard_pairs": d.doc_jaccard_pairs,
         "doc_minhash_pairs": d.doc_minhash_pairs,
         "doc_dedup_minhash": d.doc_dedup_minhash,
+        "doc_clean_corpus": d.doc_clean_corpus,
         "doc_simhash": d.doc_simhash,
         "doc_simhash_neardup_pairs": d.doc_simhash_neardup_pairs,
         "doc_fingerprint": d.doc_fingerprint,
@@ -297,6 +298,7 @@ def _dataops_sql() -> dict[str, str]:
     return {
         "doc_minhash_pairs": d.minhash_oracle_sql(),
         "doc_dedup_minhash": d.dedup_minhash_oracle_sql(),
+        "doc_clean_corpus": d.clean_corpus_oracle_sql(),
         "events_window_sliding": (
             "WITH x AS (SELECT event_type, epoch_us(ts) AS t, "
             "cast(round(value*100) AS BIGINT) AS cents FROM events), "

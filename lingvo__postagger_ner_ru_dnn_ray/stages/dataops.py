@@ -1714,6 +1714,82 @@ def doc_dedup_minhash(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+_CLEAN_MIN_WORDS = 20
+
+
+def doc_clean_corpus(sf_dir: str) -> ray.data.Dataset:
+    """END-TO-END corpus cleaning — the composition a training-data
+    pipeline actually ships: per-doc quality gate (word count ≥ 20,
+    language == 'en' by the script-ratio heuristic) ∩ the MinHash
+    near-dup keep-list. Signals compute in ONE vectorized map_batches
+    over the documents; the intersection with the (distributed) dedup
+    keep-list is the engine's salted co-partitioned semi-join — no
+    driver materialization anywhere. Emits (doc_id, n_words) of the
+    surviving corpus."""
+    kept = doc_dedup_minhash(sf_dir)
+
+    def signals(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        n_words = pc.add(
+            pc.count_substring(text, " "), pa.scalar(1, pa.int32())
+        )  # words = separators + 1 (documents are single-space joined)
+        cyr = pc.count_substring_regex(text, "[а-яА-ЯёЁ]")
+        lat = pc.count_substring_regex(text, "[a-zA-Z]")
+        ok = pc.and_(
+            pc.greater_equal(n_words, pa.scalar(_CLEAN_MIN_WORDS, pa.int32())),
+            pc.less_equal(cyr, lat),  # 'en' by the doc_langid rule
+        )
+        t = pa.Table.from_arrays(
+            [batch.column("doc_id"), pc.cast(n_words, pa.int64())],
+            names=["doc_id", "n_words"],
+        ).filter(ok)
+        k = np.asarray(t.column("doc_id"), dtype=np.int64)
+        return pa.Table.from_arrays(
+            [t.column("doc_id"), t.column("n_words"), pa.array(_key_salt(k)),
+             pa.array([0] * len(t), pa.int8())],
+            names=["doc_id", "n_words", "salt", "kind"],
+        )
+
+    def tag_kept(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                 pa.array([], pa.int64()), pa.array([], pa.int8())],
+                names=["doc_id", "n_words", "salt", "kind"],
+            )
+        k = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), pa.nulls(len(k), pa.int64()),
+             pa.array(_key_salt(k)), pa.array([1] * len(k), pa.int8())],
+            names=["doc_id", "n_words", "salt", "kind"],
+        )
+
+    def semi(g: pd.DataFrame) -> pd.DataFrame:
+        keep_ids = set(g.loc[g["kind"] == 1, "doc_id"])
+        q = g[g["kind"] == 0]
+        out = q[q["doc_id"].isin(keep_ids)]
+        return pd.DataFrame({
+            "doc_id": pd.Series(out["doc_id"].to_numpy(), dtype="int64"),
+            "n_words": pd.Series(out["n_words"].to_numpy(), dtype="int64"),
+        })
+
+    both = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        signals, batch_format="pyarrow"
+    ).union(kept.map_batches(tag_kept, batch_format="pyarrow"))
+    return both.groupby("salt").map_groups(semi, batch_format="pandas")
+
+
+def clean_corpus_oracle_sql() -> str:
+    return (
+        "SELECT doc_id, len(string_split(text,' '))::BIGINT AS n_words "
+        "FROM documents "
+        f"WHERE len(string_split(text,' ')) >= {_CLEAN_MIN_WORDS} "
+        "AND len(regexp_extract_all(text,'[а-яА-ЯёЁ]')) <= "
+        "len(regexp_extract_all(text,'[a-zA-Z]')) "
+        f"AND doc_id IN ({dedup_minhash_oracle_sql()})"
+    )
+
+
 def dedup_minhash_oracle_sql() -> str:
     """SQL mirror of the representative-link dedup: a doc is dropped iff
     some bucket it occupies has a lower min doc_id (its representative)

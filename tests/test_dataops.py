@@ -13,6 +13,7 @@ SQL_QUERIES = [
     "doc_jaccard_pairs",
     "doc_minhash_pairs",
     "doc_dedup_minhash",
+    "doc_clean_corpus",
     "doc_simhash",
     "doc_simhash_neardup_pairs",
     "doc_fingerprint",
