@@ -199,9 +199,13 @@ def main() -> None:
     if not os.environ.get("GRAFT_KG_ONLY"):
         timed("doc_dedup_exact", dataops.doc_dedup_exact)
         timed("doc_minhash_pairs", dataops.doc_minhash_pairs)
+        timed("doc_dedup_minhash", dataops.doc_dedup_minhash)
+        timed("doc_simhash_neardup_pairs", dataops.doc_simhash_neardup_pairs)
+        timed("doc_clean_corpus", dataops.doc_clean_corpus)
         timed("doc_token_freq", dataops.doc_token_freq)
         timed("emb_ann_topk", dataops.emb_ann_topk)
         timed("emb_ann_ivf", dataops.emb_ann_ivf)
+        timed("emb_neardup_lsh", dataops.emb_neardup_lsh)
         timed("events_window", dataops.events_window)
         timed("lineitem_pricing", dataops.lineitem_pricing)
 
