@@ -358,7 +358,8 @@ def _distinct_pairs(pairs: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def _verify_candidate_pairs(
-    docs: ray.data.Dataset, cand: ray.data.Dataset, verify_threshold_pct: int
+    docs: ray.data.Dataset, cand: ray.data.Dataset, verify_threshold_pct: int,
+    emit: str = "pairs",
 ) -> ray.data.Dataset:
     """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs via two
     reduce-side co-partitioned groupby merges (hash-partitioned on the doc
@@ -369,7 +370,12 @@ def _verify_candidate_pairs(
     (groupby-on-salt rather than Dataset.join: Ray 2.49's join aggregator
     synthesizes schema-less tables for empty hash partitions and Acero
     then rejects the key field; salting keeps per-group Python dispatch
-    at O(partitions).) Emits (doc_a, doc_b, jaccard_pct ≥ threshold)."""
+    at O(partitions).) ``emit="pairs"`` yields (doc_a, doc_b,
+    jaccard_pct ≥ threshold); ``emit="keep"`` yields the DEDUP KEEP-LIST
+    (doc_id) directly — pass 2 is co-partitioned on salt(doc_b) with
+    EVERY doc's row present, so "this doc has no verified lower-id link"
+    is a partition-local fact and the separate anti-join stage of the
+    old keep-list construction disappears."""
 
     def tag_docs(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -440,8 +446,11 @@ def _verify_candidate_pairs(
                 s = sh_memo[doc_id] = _shingles(texts[doc_id])
             return s
 
+        dropped: set = set()
         for b_key, a_id in zip(c["k"], c["other"]):
             if b_key not in texts_b or a_id not in texts_a:
+                continue
+            if emit == "keep" and b_key in dropped:
                 continue
             sa = sh_of(a_id, texts_a)
             sb = sh_of(b_key, texts_b)
@@ -450,9 +459,17 @@ def _verify_candidate_pairs(
                 continue
             jac = (100 * inter) // (len(sa) + len(sb) - inter)
             if jac >= verify_threshold_pct:
-                a_out.append(int(a_id))
-                b_out.append(int(b_key))
-                j_out.append(jac)
+                if emit == "keep":
+                    dropped.add(b_key)
+                else:
+                    a_out.append(int(a_id))
+                    b_out.append(int(b_key))
+                    j_out.append(jac)
+        if emit == "keep":
+            keep = np.sort(
+                np.array([k for k in texts_b if k not in dropped], dtype=np.int64)
+            )
+            return pd.DataFrame({"doc_id": pd.Series(keep, dtype="int64")})
         return pd.DataFrame({
             "doc_a": pd.Series(a_out, dtype="int64"),
             "doc_b": pd.Series(b_out, dtype="int64"),
@@ -1643,11 +1660,14 @@ def doc_dedup_minhash(sf_dir: str) -> ray.data.Dataset:
     2. Verify: exact Jaccard(doc, representative) ≥ 50 % via the same
        co-partitioned merge machinery as the pair listing (texts cross
        the shuffle once per partition, not per link).
-    3. Keep-list: salted reduce-side anti-join of all doc ids against the
-       verified drop set. A doc is dropped iff it shares a bucket with a
-       lower-id representative it is ≥50 %-Jaccard-similar to; bucket
-       minima themselves are always kept — the canonical min-rep dedup
-       policy, reproduced exactly by the SQL oracle."""
+    3. Keep-list: emitted directly by the verify pass (emit="keep") —
+       pass 2 is co-partitioned on salt(doc_b) with every doc's row
+       present, so "no verified lower-id link" is a partition-local fact
+       and no separate anti-join stage is needed. A doc is dropped iff it
+       shares a bucket with a lower-id representative it is ≥50 %-
+       Jaccard-similar to; bucket minima themselves are always kept —
+       the canonical min-rep dedup policy, reproduced exactly by the SQL
+       oracle."""
     docs = _docs(sf_dir, ["doc_id", "text"])
     bands = docs.map_batches(_mh_to_bands, batch_format="pyarrow")
 
@@ -1671,47 +1691,10 @@ def doc_dedup_minhash(sf_dir: str) -> ray.data.Dataset:
     links = bands.groupby("salt").map_groups(rep_links, batch_format="pandas")
     # dedup (rep, doc) links across bands — ≤ _MH_BANDS rows per doc
     links = _distinct_pairs(links)
-    verified = _verify_candidate_pairs(docs, links, _DEDUP_KEEP_THRESHOLD)
-
-    def drops(batch: pa.Table) -> pa.Table:
-        if batch.num_columns == 0 or batch.num_rows == 0:
-            return pa.Table.from_arrays(
-                [pa.array([], pa.int64()), pa.array([], pa.int64()),
-                 pa.array([], pa.int8())],
-                names=["k", "salt", "kind"],
-            )
-        k = np.unique(np.asarray(batch.column("doc_b"), dtype=np.int64))
-        return pa.Table.from_arrays(
-            [pa.array(k), pa.array(_key_salt(k)), pa.array([1] * len(k), pa.int8())],
-            names=["k", "salt", "kind"],
-        )
-
-    def tag_ids(batch: pa.Table) -> pa.Table:
-        k = np.asarray(batch.column("doc_id"), dtype=np.int64)
-        return pa.Table.from_arrays(
-            [pa.array(k), pa.array(_key_salt(k)), pa.array([0] * len(k), pa.int8())],
-            names=["k", "salt", "kind"],
-        )
-
-    def anti(g: pd.DataFrame) -> pd.DataFrame:
-        dropped = g.loc[g["kind"] == 1, "k"].unique()
-        out = g.loc[(g["kind"] == 0) & ~g["k"].isin(dropped), "k"]
-        return pd.DataFrame({"doc_id": pd.Series(np.sort(out.to_numpy()), dtype="int64")})
-
-    ids = _docs(sf_dir, ["doc_id"]).map_batches(tag_ids, batch_format="pyarrow")
-    both = ids.union(verified.map_batches(drops, batch_format="pyarrow"))
-    out_schema = pa.schema([("doc_id", pa.int64())])
-
-    def stamp(batch: pa.Table) -> pa.Table:
-        if batch.num_columns == 0 or batch.num_rows == 0:
-            return out_schema.empty_table()
-        return batch.select(out_schema.names).cast(out_schema)
-
-    return (
-        both.groupby("salt")
-        .map_groups(anti, batch_format="pandas")
-        .map_batches(stamp, batch_format="pyarrow")
-    )
+    # emit="keep": verification pass 2 is co-partitioned on salt(doc_b)
+    # with every doc's row present, so the keep-list falls out of the
+    # verify partitions directly — no separate anti-join stage
+    return _verify_candidate_pairs(docs, links, _DEDUP_KEEP_THRESHOLD, emit="keep")
 
 
 _CLEAN_MIN_WORDS = 20
