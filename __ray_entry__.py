@@ -243,6 +243,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_charlm_ppl": d.doc_charlm_ppl,
         "doc_token_freq": d.doc_token_freq,
         "doc_len_histogram": d.doc_len_histogram,
+        "doc_token_hll_registers": d.doc_token_hll_registers,
+        "doc_token_hll_estimate": d.doc_token_hll_estimate,
         # --- similarity search
         "emb_ann_topk": d.emb_ann_topk,
         "emb_ann_ivf": d.emb_ann_ivf,
@@ -258,8 +260,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": d.events_sessions,
         "events_user_cumsum": d.events_user_cumsum,
         "events_value_quantiles": d.events_value_quantiles,
+        "events_attribution": d.events_attribution,
+        "events_distinct_users": d.events_distinct_users,
         # --- sampling / ranking / anti-join
         "doc_sample": d.doc_sample,
+        "doc_sample_stratified": d.doc_sample_stratified,
         "supplier_topk_per_nation": d.supplier_topk_per_nation,
         "customers_without_orders": d.customers_without_orders,
         # --- relational basics
@@ -465,6 +470,14 @@ def _dataops_sql() -> dict[str, str]:
             "SELECT event_type, cast(round(value*100) AS BIGINT) AS cents FROM events) "
             "GROUP BY event_type"
         ),
+        "events_attribution": d.ATTRIBUTION_ORACLE_SQL,
+        "events_distinct_users": (
+            "SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users "
+            "FROM events GROUP BY event_type"
+        ),
+        "doc_sample_stratified": d.stratified_sample_oracle_sql(),
+        "doc_token_hll_registers": d.HLL_REGISTERS_ORACLE_SQL,
+        "doc_token_hll_estimate": d.HLL_ESTIMATE_ORACLE_SQL,
         # media_features / media_stats oracles are added in oracle_sql()
         # (they need the materialized payload path)
     }

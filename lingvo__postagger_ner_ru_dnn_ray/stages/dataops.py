@@ -14,6 +14,7 @@ with ``ray.put``.
 from __future__ import annotations
 
 import hashlib
+import math
 import zlib
 
 import numpy as np
@@ -2370,4 +2371,321 @@ SELECT doc_id, count(*)::BIGINT AS n_grams,
       / (coalesce(cc.c, 0) + (SELECT v FROM vs)))))::BIGINT AS sum_millibits
 FROM dg LEFT JOIN fc USING (g) LEFT JOIN cc ON substr(dg.g, 1, 2) = cc.cx
 GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------- #
+# as-of (temporal attribution) join — an operator Ray Data has no built-in for
+
+def events_attribution(sf_dir: str) -> ray.data.Dataset:
+    """Backward as-of join: each *purchase* event is matched to the most
+    recent *click* of the same user STRICTLY before it (classic marketing
+    attribution; the general shape is the financial tick as-of join).
+
+    Ray Data has no as-of join, and a naive approach would global-sort
+    the whole stream. Instead both sides are hash-co-partitioned on
+    salt(user_id) — ONE bounded shuffle — and each partition runs a
+    vectorized ``pd.merge_asof`` over its users (sorted within the
+    partition only). Ties (two clicks at the same microsecond) break
+    deterministically to the larger event_id, matching the SQL oracle's
+    window ordering. At 100 TB the same pipeline adds a coarse time-range
+    sub-key to the salt so a partition holds (user × time-slice), exactly
+    like events_sessions' (user, day-bucket) cells."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.is_in(batch.column("event_type"),
+                     value_set=pa.array(["click", "purchase"]))
+        )
+        uid = np.asarray(t.column("user_id"), dtype=np.int64)
+        return pa.Table.from_arrays(
+            [t.column("event_id"),
+             pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()),
+             t.column("user_id"),
+             pa.array(_key_salt(uid)),
+             pc.equal(t.column("event_type"), "purchase")],
+            names=["event_id", "ts_us", "user_id", "salt", "is_purchase"],
+        )
+
+    out_schema = pa.schema(
+        [("purchase_event_id", pa.int64()), ("user_id", pa.int64()),
+         ("purchase_ts_us", pa.int64()), ("click_event_id", pa.int64()),
+         ("lag_us", pa.int64())]
+    )
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ["purchase_event_id", "user_id", "purchase_ts_us",
+                "click_event_id", "lag_us"]
+        p = (
+            g[g["is_purchase"]]
+            .sort_values(["ts_us", "event_id"])
+            .rename(columns={"event_id": "purchase_event_id",
+                             "ts_us": "purchase_ts_us"})
+            [["purchase_event_id", "user_id", "purchase_ts_us"]]
+        )
+        if p.empty:
+            return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+        c = (
+            g[~g["is_purchase"]]
+            .sort_values(["ts_us", "event_id"])  # ties -> last = max event_id
+            .rename(columns={"event_id": "click_event_id",
+                             "ts_us": "click_ts_us"})
+            [["click_event_id", "user_id", "click_ts_us"]]
+        )
+        if c.empty:
+            m = p.assign(click_event_id=np.nan, click_ts_us=np.nan)
+        else:
+            m = pd.merge_asof(
+                p, c, left_on="purchase_ts_us", right_on="click_ts_us",
+                by="user_id", direction="backward", allow_exact_matches=False,
+            )
+        m["lag_us"] = m["purchase_ts_us"] - m["click_ts_us"]
+        for col in ("purchase_event_id", "user_id", "purchase_ts_us"):
+            m[col] = m[col].astype("int64")
+        for col in ("click_event_id", "lag_us"):
+            m[col] = m[col].astype("Int64")  # nullable: purchases w/o click
+        return m[cols]
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return out_schema.empty_table()
+        return batch.select(out_schema.names).cast(out_schema)
+
+    return (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby("salt")
+        .map_groups(asof, batch_format="pandas")
+        .map_batches(stamp, batch_format="pyarrow")
+    )
+
+
+ATTRIBUTION_ORACLE_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t,
+         (event_type = 'purchase') AS isp
+  FROM events WHERE event_type IN ('click', 'purchase')
+), w AS (
+  SELECT *,
+    last_value(CASE WHEN NOT isp
+                    THEN t::HUGEINT * 4294967296 + event_id END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY t, isp DESC, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS enc
+  FROM e
+)
+SELECT event_id AS purchase_event_id, user_id, t AS purchase_ts_us,
+  (enc % 4294967296)::BIGINT AS click_event_id,
+  (t - enc // 4294967296)::BIGINT AS lag_us
+FROM w WHERE isp
+"""
+
+
+# --------------------------------------------------------------------------- #
+# exact distinct count at scale: pre-dedup inside the batch BEFORE the shuffle
+
+def events_distinct_users(sf_dir: str) -> ray.data.Dataset:
+    """Exact COUNT(DISTINCT user_id) per event_type. The scale trick is
+    the per-batch dedup: only distinct (event_type, user_id) pairs leave
+    a batch, so the wide groupby sees at most |types|×|users| rows, not
+    |events| — the exact-counting complement of the doc_token_hll sketch
+    (which bounds memory when the distinct set itself is too large)."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+
+    def dedup_batch(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["event_type", "user_id"]).aggregate([])
+        return g
+
+    pairs = ev.map_batches(dedup_batch, batch_format="pyarrow")
+    # distinct across batches, then count per type: two bounded groupbys
+    distinct = pairs.groupby(["event_type", "user_id"]).aggregate(
+        Count(alias_name="_n")
+    )
+
+    count_schema = pa.schema([("event_type", pa.string()), ("n_users", pa.int64())])
+
+    def count_partials(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return count_schema.empty_table()
+        g = batch.group_by(["event_type"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "n_users"]).cast(count_schema)
+
+    return (
+        distinct.map_batches(count_partials, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+
+# --------------------------------------------------------------------------- #
+# stratified deterministic sampling — per-language rates over DETECTED language
+
+_STRAT_RATES = {"ru": 20, "en": 5}  # keep % per detected language
+
+
+def doc_sample_stratified(sf_dir: str) -> ray.data.Dataset:
+    """Stratified deterministic sampling: language-ID (the doc_langid
+    Arrow-kernel heuristic) picks the stratum, a multiply-shift hash of
+    doc_id picks membership at that stratum's rate — 20 % of Russian
+    docs, 5 % of English. RNG-free and coordination-free like
+    doc_sample: the same rows survive any re-run/retry at any
+    parallelism, which is what makes a 100 TB sampling job resumable.
+    One fused map_batches — no shuffle at all."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        cyr = pc.count_substring_regex(text, "[а-яА-ЯёЁ]")
+        lat = pc.count_substring_regex(text, "[a-zA-Z]")
+        lang = pc.if_else(pc.greater(cyr, lat), "ru", "en")
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        h = (
+            (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            >> np.uint64(33)
+        ) % np.uint64(100)
+        rate = np.where(
+            np.asarray(pc.equal(lang, "ru")), _STRAT_RATES["ru"], _STRAT_RATES["en"]
+        )
+        t = pa.Table.from_arrays(
+            [batch.column("doc_id"), lang,
+             pc.cast(pc.utf8_length(text), pa.int64())],
+            names=["doc_id", "lang_pred", "n_chars"],
+        )
+        return t.filter(pa.array(h < rate))
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+def stratified_sample_oracle_sql() -> str:
+    ru, en = _STRAT_RATES["ru"], _STRAT_RATES["en"]
+    return (
+        "WITH l AS (SELECT doc_id, length(text)::BIGINT AS n_chars, "
+        "CASE WHEN len(regexp_extract_all(text, '[а-яА-ЯёЁ]')) > "
+        "len(regexp_extract_all(text, '[a-zA-Z]')) THEN 'ru' ELSE 'en' END AS lang_pred "
+        "FROM documents) "
+        "SELECT doc_id, lang_pred, n_chars FROM l "
+        "WHERE ((((doc_id::HUGEINT * 11400714819323198485) % 18446744073709551616) "
+        "// 8589934592) % 100)::BIGINT < "
+        f"(CASE WHEN lang_pred = 'ru' THEN {ru} ELSE {en} END)"
+    )
+
+
+# --------------------------------------------------------------------------- #
+# HyperLogLog distinct-count sketch — O(m) memory where exact counting can't fit
+
+_HLL_B = 10                 # register index bits
+_HLL_M = 1 << _HLL_B        # 1024 registers
+
+
+def _hll_register_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch HLL register partial-max: tokens -> md5 hash -> (register,
+    rho); only the 1024-bounded register maxima leave the batch."""
+    toks = pc.unique(pc.list_flatten(pc.split_pattern(batch.column("text"), " ")))
+    if len(toks) == 0:
+        return pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64())],
+            names=["register", "max_rho"],
+        )
+    hs = np.fromiter(
+        (_word_hash(w) for w in toks.to_pylist()), dtype=np.uint64, count=len(toks)
+    )
+    reg = (hs % np.uint64(_HLL_M)).astype(np.int64)
+    v = ((hs >> np.uint64(_HLL_B)) & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    # rho = 32 - floor(log2(v)) for v>0 else 33; bit-exact via frexp
+    # (v < 2^32 is exactly representable in float64, exponent == bit_length)
+    rho = np.where(v > 0, 33 - np.frexp(v.astype(np.float64))[1], 33).astype(np.int64)
+    maxima = np.zeros(_HLL_M, dtype=np.int64)
+    np.maximum.at(maxima, reg, rho)
+    used = np.nonzero(maxima)[0]
+    return pa.Table.from_arrays(
+        [pa.array(used.astype(np.int64)), pa.array(maxima[used])],
+        names=["register", "max_rho"],
+    )
+
+
+def doc_token_hll_registers(sf_dir: str) -> ray.data.Dataset:
+    """HyperLogLog(m=1024) register table over the corpus token stream —
+    the mergeable sketch for COUNT DISTINCT when the distinct set itself
+    is too large to shuffle (the exact complement: events_distinct_users).
+    Register maxima are associative/commutative, so per-batch partials
+    (≤1024 rows each) flow through one tiny groupby-max; duplicates never
+    matter. Hashing is the engine's md5 word hash, reproduced exactly in
+    SQL via md5_number_upper + bin()."""
+    part = _docs(sf_dir, ["text"]).map_batches(
+        _hll_register_partials, batch_format="pyarrow"
+    )
+    return part.groupby("register").aggregate(Max("max_rho", alias_name="max_rho"))
+
+
+HLL_REGISTERS_ORACLE_SQL = """
+WITH toks AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS tok FROM documents
+), r AS (
+  SELECT (md5_number_upper(tok) % 1024)::BIGINT AS register,
+         ((md5_number_upper(tok) // 1024) % 4294967296) AS v
+  FROM toks
+)
+SELECT register,
+  max(CASE WHEN v = 0 THEN 33 ELSE 33 - length(bin(v)) END)::BIGINT AS max_rho
+FROM r GROUP BY register
+"""
+
+
+def doc_token_hll_estimate(sf_dir: str) -> pd.DataFrame:
+    """The HLL cardinality estimate from the register table. The harmonic
+    sum is kept INTEGER-exact (Σ 2^(33-rho) scaled by 2^33, empty
+    registers contribute 2^33) so the only float op is one final
+    division, identical in numpy and DuckDB; the estimate is floored to
+    millis. Driver pull is the ≤1024-row register table — bounded by the
+    sketch size, never by the data."""
+    regs = doc_token_hll_registers(sf_dir).to_pandas()  # ≤ _HLL_M rows
+    rho = regs["max_rho"].to_numpy(dtype=np.int64)
+    n_used = len(regs)
+    sum_scaled = int((np.int64(1) << (np.int64(33) - rho)).sum()) + (
+        (_HLL_M - n_used) << 33
+    )
+    alpha = 0.7213 / (1 + 1.079 / _HLL_M)
+    est = alpha * _HLL_M * _HLL_M * 8589934592.0 / sum_scaled
+    n_empty = _HLL_M - n_used
+    if est <= 2.5 * _HLL_M and n_empty > 0:
+        # linear-counting small-range correction; math.log is libm's
+        # double log — the same function DuckDB's ln() calls, so the
+        # floats are bit-identical
+        est = _HLL_M * math.log(_HLL_M / n_empty)
+    return pd.DataFrame({
+        "n_registers_used": pd.Series([n_used], dtype="int64"),
+        "sum_scaled": pd.Series([sum_scaled], dtype="int64"),
+        "est_millis": pd.Series([int(np.floor(est * 1000.0))], dtype="int64"),
+    })
+
+
+HLL_ESTIMATE_ORACLE_SQL = """
+WITH toks AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS tok FROM documents
+), r AS (
+  SELECT (md5_number_upper(tok) % 1024)::BIGINT AS register,
+         ((md5_number_upper(tok) // 1024) % 4294967296) AS v
+  FROM toks
+), regs AS (
+  SELECT register,
+    max(CASE WHEN v = 0 THEN 33 ELSE 33 - length(bin(v)) END)::BIGINT AS max_rho
+  FROM r GROUP BY register
+), agg AS (
+  SELECT count(*)::BIGINT AS n_used,
+    (sum((1::BIGINT << (33 - max_rho))) +
+     (1024 - count(*))::BIGINT * 8589934592)::BIGINT AS sum_scaled
+  FROM regs
+), raw AS (
+  SELECT n_used, sum_scaled,
+    (0.7213 / (1 + 1.079 / 1024)) * 1024 * 1024 * 8589934592.0
+      / sum_scaled AS est
+  FROM agg
+)
+SELECT n_used AS n_registers_used, sum_scaled,
+  floor((CASE WHEN est <= 2.5 * 1024 AND n_used < 1024
+              THEN 1024 * ln(1024 / (1024.0 - n_used))
+              ELSE est END) * 1000.0)::BIGINT AS est_millis
+FROM raw
 """

@@ -42,6 +42,11 @@ SQL_QUERIES = [
     "orders_by_month",
     "region_nation_counts",
     "events_top_users",
+    "events_attribution",
+    "events_distinct_users",
+    "doc_sample_stratified",
+    "doc_token_hll_registers",
+    "doc_token_hll_estimate",
 ]
 
 
@@ -359,3 +364,61 @@ def test_emb_lsh_subset_of_exact(ray_session):
     ex = emb_neardup_pairs(SF).to_pandas()
     exact = set(zip(ex["vec_a"], ex["vec_b"]))
     assert all((a, b) in exact for a, b in zip(lsh["vec_a"], lsh["vec_b"]))
+
+
+def test_attribution_asof_edge_semantics(ray_session, tmp_path):
+    """Strict-before matching, same-microsecond tie-breaks (max event_id
+    wins), and the no-preceding-click NULL case — pinned on a hand-built
+    events table, cross-checked against the window-function oracle."""
+    import duckdb
+    import pandas as pd
+
+    from lingvo__postagger_ner_ru_dnn_ray.stages import dataops as d
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    us = pd.Timedelta(microseconds=1)
+    rows = [
+        # user 1: two clicks at the SAME microsecond before the purchase
+        (10, t0, 1, "click"),
+        (11, t0, 1, "click"),
+        (12, t0 + us, 1, "purchase"),
+        # user 2: click at the SAME ts as the purchase -> must NOT match
+        (20, t0, 2, "click"),
+        (21, t0, 2, "purchase"),
+        # user 3: purchase with no click at all -> NULLs
+        (30, t0, 3, "purchase"),
+        # user 4: later click after the purchase is ignored
+        (40, t0, 4, "click"),
+        (41, t0 + 2 * us, 4, "purchase"),
+        (42, t0 + 3 * us, 4, "click"),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+    df["value"] = 0.0
+    df["props"] = "{}"
+    path = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(path)
+    df.to_parquet(f"{path}/events.parquet")
+
+    got = d.events_attribution(path).to_pandas().sort_values(
+        "purchase_event_id"
+    ).reset_index(drop=True)
+    by = got.set_index("purchase_event_id")
+    assert by.loc[12, "click_event_id"] == 11        # tie -> max event_id
+    assert pd.isna(by.loc[21, "click_event_id"])     # same-ts click excluded
+    assert pd.isna(by.loc[30, "click_event_id"])     # no click at all
+    assert by.loc[41, "click_event_id"] == 40        # later click ignored
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}/events.parquet')"
+    )
+    want = con.execute(d.ATTRIBUTION_ORACLE_SQL).df().sort_values(
+        "purchase_event_id"
+    ).reset_index(drop=True)
+    assert len(got) == len(want) == 4
+    for c in got.columns:
+        pd.testing.assert_series_equal(
+            got[c].astype("Float64"), want[c].astype("Float64"), check_names=False
+        )
