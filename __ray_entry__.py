@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_jaccard_pairs": d.doc_jaccard_pairs,
         "doc_minhash_pairs": d.doc_minhash_pairs,
         "doc_dedup_minhash": d.doc_dedup_minhash,
+        "doc_jaccard_join_prefix": d.doc_jaccard_join_prefix,
         "doc_clean_corpus": d.doc_clean_corpus,
         "doc_simhash": d.doc_simhash,
         "doc_simhash_neardup_pairs": d.doc_simhash_neardup_pairs,
@@ -470,6 +471,7 @@ def _dataops_sql() -> dict[str, str]:
             "SELECT event_type, cast(round(value*100) AS BIGINT) AS cents FROM events) "
             "GROUP BY event_type"
         ),
+        "doc_jaccard_join_prefix": d.prefix_join_oracle_sql(),
         "events_attribution": d.ATTRIBUTION_ORACLE_SQL,
         "events_distinct_users": (
             "SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users "

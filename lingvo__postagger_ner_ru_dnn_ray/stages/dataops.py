@@ -2689,3 +2689,153 @@ SELECT n_used AS n_registers_used, sum_scaled,
               ELSE est END) * 1000.0)::BIGINT AS est_millis
 FROM raw
 """
+
+
+# --------------------------------------------------------------------------- #
+# prefix-filtered exact similarity join (PPJoin-style inverted index) — the
+# recall-1 complement of MinHash LSH
+
+_PFX_SH_DOC_CAP = 256  # max docs emitted per prefix-shingle posting list
+
+
+def doc_jaccard_join_prefix(sf_dir: str, threshold_pct: int = 50) -> ray.data.Dataset:
+    """EXACT Jaccard similarity join at threshold t via prefix filtering
+    (PPJoin/AllPairs family) — unlike the MinHash LSH listing this has a
+    RECALL-1 guarantee: order every doc's shingles by global rarity
+    (document frequency, then hash); any two docs with Jaccard ≥ t must
+    share at least one of each other's first ``n - ceil(t·n) + 1``
+    shingles, so the candidate equi-join on prefix shingles misses
+    nothing (proof: if the prefixes were disjoint, the intersection is
+    confined to the ≤ ceil(t·n)−1 suffix elements of both, too few to
+    reach t).
+
+    Scale shape — three salted co-partitioned exchanges, each bounded:
+    1. postings (shingle → doc) grouped by salt(shingle): ALL postings of
+       a shingle share its partition, so document frequency is a
+       partition-local vectorized count — no separate DF join.
+    2. re-key by salt(doc): per-doc prefix selection is one sort +
+       cumcount over the partition frame.
+    3. re-key prefix rows by salt(shingle): per-shingle pair emission,
+       capped at _PFX_SH_DOC_CAP docs per posting list (deterministic
+       lowest-ids-win, logged) — rarity ordering keeps true posting
+       lists short; only degenerate duplicate clusters hit the cap (the
+       dedup operator handles those linearly).
+    Then exact-Jaccard verification through _verify_candidate_pairs
+    (texts cross the shuffle once per partition, not per pair)."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def postings(batch: pa.Table) -> pa.Table:
+        ids, shs = [], []
+        for did, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for s in _shingles(text):
+                ids.append(did)
+                shs.append(_shingle_hash(s))
+        sh = np.array(shs, dtype=np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(sh), pa.array(np.array(ids, dtype=np.int64)),
+             pa.array(_key_salt(sh))],
+            names=["sh", "doc_id", "salt"],
+        )
+
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        # every posting of a shingle is in this partition -> global DF
+        df = g.groupby("sh")["doc_id"].transform("size")
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "sh": g["sh"].astype("int64").reset_index(drop=True),
+            "df": pd.Series(df.to_numpy(dtype=np.int64), dtype="int64"),
+            "salt": pd.Series(_key_salt(ids), dtype="int64"),
+        })
+
+    def prefix_select(g: pd.DataFrame) -> pd.DataFrame:
+        # rank each doc's shingles by (df, sh); keep n - ceil(t*n) + 1
+        g = g.sort_values(["doc_id", "df", "sh"], kind="mergesort")
+        n = g.groupby("doc_id")["sh"].transform("size").to_numpy(dtype=np.int64)
+        rank = g.groupby("doc_id").cumcount().to_numpy(dtype=np.int64)
+        pfx_len = n - (threshold_pct * n + 99) // 100 + 1
+        keep = g[rank < pfx_len]
+        sh = keep["sh"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "sh": pd.Series(sh, dtype="int64"),
+            "doc_id": keep["doc_id"].astype("int64").reset_index(drop=True),
+            "salt": pd.Series(_key_salt(sh), dtype="int64"),
+        })
+
+    def posting_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        a_out, b_out = [], []
+        dropped = 0
+        dup = g[g.duplicated(["sh"], keep=False)]
+        for _, ids in dup.groupby("sh", sort=False)["doc_id"]:
+            u = np.unique(ids.to_numpy())
+            if len(u) > _PFX_SH_DOC_CAP:
+                dropped += len(u) - _PFX_SH_DOC_CAP
+                u = u[:_PFX_SH_DOC_CAP]
+            ii, jj = np.triu_indices(len(u), k=1)
+            a_out.append(u[ii])
+            b_out.append(u[jj])
+        if dropped:
+            print(
+                f"[doc_jaccard_join_prefix] posting cap {_PFX_SH_DOC_CAP}: "
+                f"dropped {dropped} docs from pair emission"
+            )
+        a = np.concatenate(a_out) if a_out else np.array([], dtype=np.int64)
+        b = np.concatenate(b_out) if b_out else np.array([], dtype=np.int64)
+        return pd.DataFrame({
+            "doc_a": pd.Series(a, dtype="int64"), "doc_b": pd.Series(b, dtype="int64")
+        })
+
+    cand = (
+        docs.map_batches(postings, batch_format="pyarrow")
+        .groupby("salt")
+        .map_groups(attach_df, batch_format="pandas")
+        .groupby("salt")
+        .map_groups(prefix_select, batch_format="pandas")
+        .groupby("salt")
+        .map_groups(posting_pairs, batch_format="pandas")
+    )
+    cand = _distinct_pairs(cand)
+    return _verify_candidate_pairs(docs, cand, threshold_pct)
+
+
+def prefix_join_oracle_sql(threshold_pct: int = 50) -> str:
+    """Reproduces doc_jaccard_join_prefix exactly: same shingles, same
+    md5-mod-2^31-1 rarity ordering, same integer prefix length, same
+    integer Jaccard. Assumes no posting list exceeds _PFX_SH_DOC_CAP at
+    test scale (the Ray side truncates deterministically and logs)."""
+    t = threshold_pct
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), s AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(1, len(ws)-2)),
+    i -> array_to_string(list_slice(ws, i, i+2), ' '))) AS sh
+  FROM d
+), h AS (
+  SELECT doc_id, len(sh) AS n,
+         (md5_number_upper(unnest(sh)) % 2147483647)::BIGINT AS hsh
+  FROM s
+), df AS (
+  SELECT hsh, count(*)::BIGINT AS df FROM h GROUP BY hsh
+), rk AS (
+  SELECT h.doc_id, h.hsh,
+         row_number() OVER (PARTITION BY h.doc_id ORDER BY df.df, h.hsh) AS rn,
+         h.n - ({t} * h.n + 99) // 100 + 1 AS pfx
+  FROM h JOIN df USING (hsh)
+), pfx AS (
+  SELECT doc_id, hsh FROM rk WHERE rn <= pfx
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pfx a JOIN pfx b ON a.hsh = b.hsh AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+  100 * len(list_intersect(sa.sh, sb.sh)) //
+  (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard_pct
+FROM cand c JOIN s sa ON c.doc_a = sa.doc_id JOIN s sb ON c.doc_b = sb.doc_id
+WHERE len(list_intersect(sa.sh, sb.sh)) > 0
+  AND 100 * len(list_intersect(sa.sh, sb.sh)) //
+      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= {t}
+"""

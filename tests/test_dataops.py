@@ -42,6 +42,7 @@ SQL_QUERIES = [
     "orders_by_month",
     "region_nation_counts",
     "events_top_users",
+    "doc_jaccard_join_prefix",
     "events_attribution",
     "events_distinct_users",
     "doc_sample_stratified",
@@ -422,3 +423,37 @@ def test_attribution_asof_edge_semantics(ray_session, tmp_path):
         pd.testing.assert_series_equal(
             got[c].astype("Float64"), want[c].astype("Float64"), check_names=False
         )
+
+
+def test_prefix_join_equals_brute_force(ray_session):
+    """The recall-1 guarantee of prefix filtering: the prefix-join result
+    must EQUAL the uncapped brute-force all-pairs join at the same
+    threshold (not just be a subset, as LSH is)."""
+    import duckdb
+
+    from lingvo__postagger_ner_ru_dnn_ray.stages import dataops as d
+
+    a = (
+        d.doc_jaccard_join_prefix(SF)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    bf = con.execute("""
+WITH d AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+s AS (SELECT doc_id, list_distinct(list_transform(
+  generate_series(1, greatest(1, len(ws)-2)),
+  i -> array_to_string(list_slice(ws, i, i+2), ' '))) AS sh FROM d)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  100*len(list_intersect(a.sh,b.sh)) //
+  (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))) AS jaccard_pct
+FROM s a, s b WHERE a.doc_id < b.doc_id AND len(list_intersect(a.sh,b.sh)) > 0
+  AND 100*len(list_intersect(a.sh,b.sh)) //
+      (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))) >= 50
+""").df().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    assert len(a) == len(bf) > 0
+    assert a.astype("int64").equals(bf.astype("int64"))
