@@ -201,7 +201,11 @@ def main() -> None:
         timed("doc_minhash_pairs", dataops.doc_minhash_pairs)
         timed("doc_dedup_minhash", dataops.doc_dedup_minhash)
         timed("doc_simhash_neardup_pairs", dataops.doc_simhash_neardup_pairs)
+        timed("doc_jaccard_join_prefix", dataops.doc_jaccard_join_prefix)
         timed("doc_clean_corpus", dataops.doc_clean_corpus)
+        timed("doc_token_hll_registers", dataops.doc_token_hll_registers)
+        timed("events_attribution", dataops.events_attribution)
+        timed("events_distinct_users", dataops.events_distinct_users)
         timed("doc_token_freq", dataops.doc_token_freq)
         timed("emb_ann_topk", dataops.emb_ann_topk)
         timed("emb_ann_ivf", dataops.emb_ann_ivf)
