@@ -215,6 +215,15 @@ def _emb_ann_ivf_recall(sf_dir: str):
     return emb_ann_ivf_recall(sf_dir, ivf_path=_ivf_dir(sf_dir))
 
 
+def _graph_q(name: str) -> Callable[[str], Any]:
+    def run(sf_dir: str):
+        from lingvo__postagger_ner_ru_dnn_ray.stages import graph as g
+
+        return getattr(g, name)(sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from lingvo__postagger_ner_ru_dnn_ray.stages import dataops as d
 
@@ -234,6 +243,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_minhash": d.doc_dedup_minhash,
         "doc_jaccard_join_prefix": d.doc_jaccard_join_prefix,
         "doc_clean_corpus": d.doc_clean_corpus,
+        "doc_dup_components": _graph_q("doc_dup_components"),
+        "doc_dedup_cc": _graph_q("doc_dedup_cc"),
+        "doc_dup_pagerank": _graph_q("doc_dup_pagerank"),
         "doc_simhash": d.doc_simhash,
         "doc_simhash_neardup_pairs": d.doc_simhash_neardup_pairs,
         "doc_fingerprint": d.doc_fingerprint,
@@ -300,9 +312,13 @@ def _dataops_sql() -> dict[str, str]:
     reproduced EXACTLY in SQL via DuckDB's md5_number_upper — see the
     *_ORACLE_SQL constants next to each operator in stages/dataops.py."""
     from lingvo__postagger_ner_ru_dnn_ray.stages import dataops as d
+    from lingvo__postagger_ner_ru_dnn_ray.stages import graph as _g
 
     return {
         "doc_minhash_pairs": d.minhash_oracle_sql(),
+        "doc_dup_components": _g.dup_components_oracle_sql(),
+        "doc_dedup_cc": _g.dedup_cc_oracle_sql(),
+        "doc_dup_pagerank": _g.dup_pagerank_oracle_sql(),
         "doc_dedup_minhash": d.dedup_minhash_oracle_sql(),
         "doc_clean_corpus": d.clean_corpus_oracle_sql(),
         "events_window_sliding": (

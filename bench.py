@@ -134,7 +134,7 @@ def main() -> None:
         sf_of_dir,
     )
     from lingvo__postagger_ner_ru_dnn_ray.pipelines.kg import run_kg_job
-    from lingvo__postagger_ner_ru_dnn_ray.stages import dataops
+    from lingvo__postagger_ner_ru_dnn_ray.stages import dataops, graph
 
     sf = sf_of_dir(SF_DIR)
     # per-round bench: 240k turns at sf0.1 (fast, headline throughput);
@@ -203,6 +203,8 @@ def main() -> None:
         timed("doc_simhash_neardup_pairs", dataops.doc_simhash_neardup_pairs)
         timed("doc_jaccard_join_prefix", dataops.doc_jaccard_join_prefix)
         timed("doc_clean_corpus", dataops.doc_clean_corpus)
+        timed("doc_dedup_cc", graph.doc_dedup_cc)
+        timed("doc_dup_pagerank", graph.doc_dup_pagerank)
         timed("doc_token_hll_registers", dataops.doc_token_hll_registers)
         timed("events_attribution", dataops.events_attribution)
         timed("events_distinct_users", dataops.events_distinct_users)

@@ -48,6 +48,9 @@ SQL_QUERIES = [
     "doc_sample_stratified",
     "doc_token_hll_registers",
     "doc_token_hll_estimate",
+    "doc_dup_components",
+    "doc_dedup_cc",
+    "doc_dup_pagerank",
 ]
 
 
