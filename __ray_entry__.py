@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_components": _graph_q("doc_dup_components"),
         "doc_dedup_cc": _graph_q("doc_dedup_cc"),
         "doc_dup_pagerank": _graph_q("doc_dup_pagerank"),
+        "doc_dup_triangles": _graph_q("doc_dup_triangles"),
         "doc_simhash": d.doc_simhash,
         "doc_simhash_neardup_pairs": d.doc_simhash_neardup_pairs,
         "doc_fingerprint": d.doc_fingerprint,
@@ -258,6 +259,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_len_histogram": d.doc_len_histogram,
         "doc_token_hll_registers": d.doc_token_hll_registers,
         "doc_token_hll_estimate": d.doc_token_hll_estimate,
+        "doc_token_cms_registers": d.doc_token_cms_registers,
+        "doc_token_cms_estimate": d.doc_token_cms_estimate,
+        "doc_tfidf_topk": d.doc_tfidf_topk,
         # --- similarity search
         "emb_ann_topk": d.emb_ann_topk,
         "emb_ann_ivf": d.emb_ann_ivf,
@@ -319,6 +323,7 @@ def _dataops_sql() -> dict[str, str]:
         "doc_dup_components": _g.dup_components_oracle_sql(),
         "doc_dedup_cc": _g.dedup_cc_oracle_sql(),
         "doc_dup_pagerank": _g.dup_pagerank_oracle_sql(),
+        "doc_dup_triangles": _g.dup_triangles_oracle_sql(),
         "doc_dedup_minhash": d.dedup_minhash_oracle_sql(),
         "doc_clean_corpus": d.clean_corpus_oracle_sql(),
         "events_window_sliding": (
@@ -496,6 +501,9 @@ def _dataops_sql() -> dict[str, str]:
         "doc_sample_stratified": d.stratified_sample_oracle_sql(),
         "doc_token_hll_registers": d.HLL_REGISTERS_ORACLE_SQL,
         "doc_token_hll_estimate": d.HLL_ESTIMATE_ORACLE_SQL,
+        "doc_token_cms_registers": d.CMS_REGISTERS_ORACLE_SQL,
+        "doc_token_cms_estimate": d.CMS_ESTIMATE_ORACLE_SQL,
+        "doc_tfidf_topk": d.tfidf_oracle_sql(),
         # media_features / media_stats oracles are added in oracle_sql()
         # (they need the materialized payload path)
     }

@@ -206,6 +206,8 @@ def main() -> None:
         timed("doc_dedup_cc", graph.doc_dedup_cc)
         timed("doc_dup_pagerank", graph.doc_dup_pagerank)
         timed("doc_token_hll_registers", dataops.doc_token_hll_registers)
+        timed("doc_tfidf_topk", dataops.doc_tfidf_topk)
+        timed("doc_token_cms_registers", dataops.doc_token_cms_registers)
         timed("events_attribution", dataops.events_attribution)
         timed("events_distinct_users", dataops.events_distinct_users)
         timed("doc_token_freq", dataops.doc_token_freq)

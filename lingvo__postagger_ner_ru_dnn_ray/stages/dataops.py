@@ -2692,6 +2692,127 @@ FROM raw
 
 
 # --------------------------------------------------------------------------- #
+# count-min sketch — the mergeable frequency sketch (complement of HLL's
+# cardinality sketch): bounded-size register table, per-token overestimates
+
+_CMS_W = 1024  # buckets per row
+_CMS_D = 4  # independent hash rows
+_CMS_RNG = np.random.RandomState(99)
+_CMS_A = _CMS_RNG.randint(1, int(_MH_P), size=_CMS_D).astype(np.uint64)
+_CMS_B = _CMS_RNG.randint(0, int(_MH_P), size=_CMS_D).astype(np.uint64)
+
+
+def _cms_register_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch count-min partial counts: token occurrences -> md5 word
+    hash -> _CMS_D universal-hash buckets; only the ≤ D·W nonzero
+    register sums leave the batch."""
+    toks = pc.list_flatten(pc.split_pattern(batch.column("text"), " "))
+    if len(toks) == 0:
+        return pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64()),
+             pa.array([], pa.int64())],
+            names=["depth", "bucket", "cnt"],
+        )
+    vc = pa.Table.from_arrays([toks], names=["t"]).group_by(["t"]).aggregate(
+        [([], "count_all")]
+    )
+    words = vc.column("t").to_pylist()
+    counts = np.asarray(vc.column("count_all"), dtype=np.int64)
+    wh = np.fromiter(
+        (_word_hash(w) for w in words), dtype=np.uint64, count=len(words)
+    ) % _MH_P
+    grid = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+    for d in range(_CMS_D):
+        b = ((_CMS_A[d] * wh + _CMS_B[d]) % _MH_P % np.uint64(_CMS_W)).astype(np.int64)
+        np.add.at(grid[d], b, counts)
+    dd, bb = np.nonzero(grid)
+    return pa.Table.from_arrays(
+        [pa.array(dd.astype(np.int64)), pa.array(bb.astype(np.int64)),
+         pa.array(grid[dd, bb])],
+        names=["depth", "bucket", "cnt"],
+    )
+
+
+def doc_token_cms_registers(sf_dir: str) -> ray.data.Dataset:
+    """Count-min sketch (4×1024) register table over the corpus token
+    stream. Register sums are associative, so per-batch partials (≤4096
+    rows) flow through one tiny groupby-sum; the sketch answers point
+    frequency queries with one-sided error cnt_est ≥ cnt_true. Hashing
+    is the engine's md5 word hash mod 2^31-1 under the minhash-style
+    (a·h+b) mod p universal family — BIGINT-safe, SQL-exact."""
+    part = _docs(sf_dir, ["text"]).map_batches(
+        _cms_register_partials, batch_format="pyarrow"
+    )
+    return part.groupby(["depth", "bucket"]).aggregate(Sum("cnt", alias_name="cnt"))
+
+
+def _cms_hash_values_sql() -> str:
+    return ", ".join(
+        f"({d},{int(_CMS_A[d])},{int(_CMS_B[d])})" for d in range(_CMS_D)
+    )
+
+
+CMS_REGISTERS_ORACLE_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), h AS (
+  SELECT (md5_number_upper(tok) % 2147483647)::BIGINT AS wh FROM toks
+), d(depth, a, b) AS (VALUES {_cms_hash_values_sql()})
+SELECT depth, ((a * wh + b) % 2147483647) % {_CMS_W} AS bucket,
+       count(*)::BIGINT AS cnt
+FROM h, d GROUP BY depth, bucket
+"""
+
+
+def doc_token_cms_estimate(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Heavy-hitter audit: the true top-k tokens (distributed partial
+    top-k) next to their count-min estimates (min over the 4 hash rows).
+    Driver pull is the ≤4096-row register table + k rows — bounded by the
+    sketch, never by the corpus. est ≥ freq always (one-sided error)."""
+    top = doc_token_freq(sf_dir, top_k=k).to_pandas()  # k rows
+    regs = doc_token_cms_registers(sf_dir).to_pandas()  # ≤ D·W rows
+    grid = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+    grid[regs["depth"].to_numpy(dtype=np.int64),
+         regs["bucket"].to_numpy(dtype=np.int64)] = regs["cnt"].to_numpy(dtype=np.int64)
+    wh = np.fromiter(
+        (_word_hash(w) for w in top["token"]), dtype=np.uint64, count=len(top)
+    ) % _MH_P
+    ests = np.full(len(top), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(_CMS_D):
+        b = ((_CMS_A[d] * wh + _CMS_B[d]) % _MH_P % np.uint64(_CMS_W)).astype(np.int64)
+        ests = np.minimum(ests, grid[d, b])
+    return pd.DataFrame({
+        "token": top["token"].astype(str),
+        "freq": top["freq"].astype("int64"),
+        "est": pd.Series(ests, dtype="int64"),
+    })
+
+
+CMS_ESTIMATE_ORACLE_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), top AS (
+  SELECT tok AS token, count(*)::BIGINT AS freq FROM toks
+  GROUP BY tok ORDER BY freq DESC, token LIMIT 20
+), h AS (
+  SELECT (md5_number_upper(tok) % 2147483647)::BIGINT AS wh FROM toks
+), d(depth, a, b) AS (VALUES {_cms_hash_values_sql()}),
+regs AS (
+  SELECT depth, ((a * wh + b) % 2147483647) % {_CMS_W} AS bucket,
+         count(*)::BIGINT AS cnt
+  FROM h, d GROUP BY depth, bucket
+), lk AS (
+  SELECT t.token, t.freq, r.cnt
+  FROM top t, d
+  JOIN regs r ON r.depth = d.depth
+    AND r.bucket = ((d.a * (md5_number_upper(t.token) % 2147483647)::BIGINT + d.b)
+                    % 2147483647) % {_CMS_W}
+)
+SELECT token, freq, min(cnt)::BIGINT AS est FROM lk GROUP BY token, freq
+"""
+
+
+# --------------------------------------------------------------------------- #
 # prefix-filtered exact similarity join (PPJoin-style inverted index) — the
 # recall-1 complement of MinHash LSH
 
@@ -2798,6 +2919,141 @@ def doc_jaccard_join_prefix(sf_dir: str, threshold_pct: int = 50) -> ray.data.Da
     )
     cand = _distinct_pairs(cand)
     return _verify_candidate_pairs(docs, cand, threshold_pct)
+
+
+_TFIDF_K = 5
+_TFIDF_IDF_SCALE = 1_000_000
+
+
+def _term_salt(terms: pd.Series) -> np.ndarray:
+    """Deterministic string-term → bounded partition router
+    (hash_pandas_object uses a fixed default key → identical across
+    worker processes)."""
+    return (
+        pd.util.hash_pandas_object(terms, index=False).to_numpy()
+        % np.uint64(_JOIN_SALTS)
+    ).astype(np.int64)
+
+
+def doc_tfidf_topk(sf_dir: str, k: int = _TFIDF_K) -> ray.data.Dataset:
+    """Per-document top-k TF-IDF terms, integer-exact: score =
+    tf · ((N · 10^6) // df) — all floor arithmetic, so DuckDB reproduces
+    ranks and scores bit-for-bit (no float log).
+
+    Scale shape — two salted co-partitioned exchanges:
+    1. per-batch (doc, term, tf) partials (a doc never spans batches, so
+       tf is exact) PLUS per-batch df partials, both routed by
+       salt(term): document frequency is summed partition-locally and
+       attached to the term rows in the same pass — no separate DF join.
+    2. re-key by salt(doc_id): per-doc top-k is one vectorized sort +
+       cumcount per partition (partial top-k is already per-doc, so
+       nothing quadratic).
+    N (corpus size) is the only driver scalar. Emits
+    (doc_id, rank, term, tf, df, score)."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = docs.count()
+
+    def tf_partials(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df[["doc_id"]].assign(term=df["text"].str.split(" ")).explode("term")
+        g = ex.groupby(["doc_id", "term"], sort=False).size().reset_index(name="tf")
+        t_salt = _term_salt(g["term"])
+        tf_rows = pd.DataFrame({
+            "salt": pd.Series(t_salt, dtype="int64"),
+            "kind": pd.Series(np.ones(len(g), dtype=np.int8), dtype="int8"),
+            "term": g["term"].astype(str),
+            "doc_id": g["doc_id"].astype("int64"),
+            "val": g["tf"].astype("int64"),
+        })
+        d = g.groupby("term", sort=False).size().reset_index(name="dfp")
+        df_rows = pd.DataFrame({
+            "salt": pd.Series(_term_salt(d["term"]), dtype="int64"),
+            "kind": pd.Series(np.zeros(len(d), dtype=np.int8), dtype="int8"),
+            "term": d["term"].astype(str),
+            "doc_id": pd.Series(np.zeros(len(d), dtype=np.int64), dtype="int64"),
+            "val": d["dfp"].astype("int64"),
+        })
+        return pd.concat([tf_rows, df_rows], ignore_index=True)
+
+    def join_df(g: pd.DataFrame) -> pd.DataFrame:
+        # all partials of a term share this partition → global df
+        dfs = g[g["kind"] == 0].groupby("term", sort=False)["val"].sum()
+        tf = g[g["kind"] == 1]
+        if tf.empty:
+            return pd.DataFrame({
+                "salt": pd.Series([], dtype="int64"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "term": pd.Series([], dtype="object"),
+                "tf": pd.Series([], dtype="int64"),
+                "df": pd.Series([], dtype="int64"),
+            })
+        ids = tf["doc_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "salt": pd.Series(_key_salt(ids), dtype="int64"),
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "term": tf["term"].reset_index(drop=True),
+            "tf": tf["val"].astype("int64").reset_index(drop=True),
+            "df": pd.Series(
+                tf["term"].map(dfs).to_numpy(dtype=np.int64), dtype="int64"
+            ),
+        })
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "rank": pd.Series([], dtype="int64"),
+                "term": pd.Series([], dtype="object"),
+                "tf": pd.Series([], dtype="int64"),
+                "df": pd.Series([], dtype="int64"),
+                "score": pd.Series([], dtype="int64"),
+            })
+        idf = (n_docs * _TFIDF_IDF_SCALE) // g["df"].to_numpy(dtype=np.int64)
+        g = g.assign(score=g["tf"].to_numpy(dtype=np.int64) * idf)
+        g = g.sort_values(
+            ["doc_id", "score", "term"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        rank = g.groupby("doc_id", sort=False).cumcount().to_numpy() + 1
+        g = g.assign(rank=rank.astype(np.int64))
+        g = g[g["rank"] <= k]
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype("int64").reset_index(drop=True),
+            "rank": g["rank"].astype("int64").reset_index(drop=True),
+            "term": g["term"].reset_index(drop=True),
+            "tf": g["tf"].astype("int64").reset_index(drop=True),
+            "df": g["df"].astype("int64").reset_index(drop=True),
+            "score": g["score"].astype("int64").reset_index(drop=True),
+        })
+
+    return (
+        docs.map_batches(tf_partials, batch_format="pandas")
+        .groupby("salt")
+        .map_groups(join_df, batch_format="pandas")
+        .groupby("salt")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
+def tfidf_oracle_sql(k: int = _TFIDF_K) -> str:
+    """Reproduces doc_tfidf_topk exactly (same whitespace split, same
+    integer idf scale, same (score DESC, term) tie order)."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM t GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), sc AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf * (((SELECT count(*) FROM documents) * {_TFIDF_IDF_SCALE}) // df.df)
+           AS score
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id,
+       row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank,
+       term, tf, df, score::BIGINT AS score
+FROM sc QUALIFY rank <= {k}"""
 
 
 def prefix_join_oracle_sql(threshold_pct: int = 50) -> str:

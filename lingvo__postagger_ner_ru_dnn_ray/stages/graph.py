@@ -560,6 +560,179 @@ def dup_pagerank_oracle_sql(iters: int = _PR_ITERS) -> str:
 SELECT node, r::BIGINT AS rank_scaled FROM {prev}"""
 
 
+def triangle_count(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Global triangle count over the undirected graph of ``edges``
+    [(doc_a, doc_b), distinct, a<b] — the degree-ordered wedge-check
+    algorithm (Suri–Vassilvitskii): orient every edge toward the higher
+    (degree, id) endpoint, enumerate wedges only from each node's
+    OUT-neighborhood (out-degree is O(√E) after orientation, so total
+    wedge work is O(E^1.5) — no hub blowup), then co-partition wedges
+    with the edge set and count closures. Emits one row (n_triangles).
+
+    Shuffle shape: 3 salted exchanges (degree attach ×2 handled as one
+    two-sided pass, wedge gen, closure check), each with vectorized
+    pandas interiors and per-partition Python dispatch."""
+
+    def directed_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return _ROW_SCHEMA.empty_table()
+        a = np.asarray(batch.column("doc_a"), dtype=np.int64)
+        b = np.asarray(batch.column("doc_b"), dtype=np.int64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        n = len(src)
+        return pa.Table.from_arrays(
+            [pa.array(src), pa.array(_key_salt(src)),
+             pa.array(np.ones(n, dtype=np.int8)), pa.array(dst)],
+            names=_ROW_SCHEMA.names,
+        )
+
+    def attach_deg_orient(g: pd.DataFrame) -> pd.DataFrame:
+        # all of a node's directed rows share its partition → exact degree;
+        # emit (k=dst, val=src, own deg as d? ) — we need BOTH endpoint
+        # degrees to orient, so pass 1 attaches deg(src) and re-keys by dst
+        e = g[g["kind"] == 1]
+        if e.empty:
+            return pd.DataFrame({
+                "k": pd.Series([], dtype="int64"), "salt": pd.Series([], dtype="int64"),
+                "kind": pd.Series([], dtype="int8"), "val": pd.Series([], dtype="int64"),
+                "deg_src": pd.Series([], dtype="int64"),
+            })
+        deg = e.groupby("k", sort=False)["val"].transform("size").to_numpy(dtype=np.int64)
+        dst = e["val"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "k": pd.Series(dst, dtype="int64"),
+            "salt": pd.Series(_key_salt(dst), dtype="int64"),
+            "kind": pd.Series(np.ones(len(e), dtype=np.int8), dtype="int8"),
+            "val": pd.Series(e["k"].to_numpy(dtype=np.int64), dtype="int64"),
+            "deg_src": pd.Series(deg, dtype="int64"),
+        })
+
+    def orient_and_wedges(g: pd.DataFrame) -> pd.DataFrame:
+        # rows: k = v, val = u, deg_src = deg(u); this partition holds ALL
+        # of v's incident rows → deg(v) is local. Keep u→v iff
+        # (deg(u), u) < (deg(v), v); group by u is NOT local here, so emit
+        # oriented edges keyed by u for the wedge pass.
+        if g.empty:
+            return pd.DataFrame({
+                "k": pd.Series([], dtype="int64"), "salt": pd.Series([], dtype="int64"),
+                "kind": pd.Series([], dtype="int8"), "val": pd.Series([], dtype="int64"),
+            })
+        deg_v = g.groupby("k", sort=False)["val"].transform("size").to_numpy(dtype=np.int64)
+        u = g["val"].to_numpy(dtype=np.int64)
+        v = g["k"].to_numpy(dtype=np.int64)
+        du = g["deg_src"].to_numpy(dtype=np.int64)
+        keep = (du < deg_v) | ((du == deg_v) & (u < v))
+        u, v = u[keep], v[keep]
+        return pd.DataFrame({
+            "k": pd.Series(u, dtype="int64"),
+            "salt": pd.Series(_key_salt(u), dtype="int64"),
+            "kind": pd.Series(np.ones(len(u), dtype=np.int8), dtype="int8"),
+            "val": pd.Series(v, dtype="int64"),
+        })
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        # per u: all pairs of out-neighbors (out-deg is O(√E) post-orient)
+        if g.empty:
+            return pd.DataFrame({
+                "k": pd.Series([], dtype="int64"), "salt": pd.Series([], dtype="int64"),
+                "kind": pd.Series([], dtype="int8"), "val": pd.Series([], dtype="int64"),
+            })
+        xs, ys = [], []
+        for _, nbrs in g.groupby("k", sort=False)["val"]:
+            arr = np.unique(nbrs.to_numpy())
+            if len(arr) < 2:
+                continue
+            ii, jj = np.triu_indices(len(arr), k=1)
+            xs.append(arr[ii])
+            ys.append(arr[jj])
+        if not xs:
+            return pd.DataFrame({
+                "k": pd.Series([], dtype="int64"), "salt": pd.Series([], dtype="int64"),
+                "kind": pd.Series([], dtype="int8"), "val": pd.Series([], dtype="int64"),
+            })
+        x = np.concatenate(xs)
+        y = np.concatenate(ys)
+        key = (x << np.int64(32)) ^ y  # doc ids fit 32 bits (engine-wide)
+        return pd.DataFrame({
+            "k": pd.Series(x, dtype="int64"),
+            "salt": pd.Series(_key_salt(key), dtype="int64"),
+            "kind": pd.Series(np.ones(len(x), dtype=np.int8), dtype="int8"),
+            "val": pd.Series(y, dtype="int64"),
+        })
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        # undirected edge set keyed by the same (min,max) pair hash
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return _ROW_SCHEMA.empty_table()
+        a = np.asarray(batch.column("doc_a"), dtype=np.int64)
+        b = np.asarray(batch.column("doc_b"), dtype=np.int64)
+        x = np.minimum(a, b)
+        y = np.maximum(a, b)
+        key = (x << np.int64(32)) ^ y
+        return pa.Table.from_arrays(
+            [pa.array(x), pa.array(_key_salt(key)),
+             pa.array(np.zeros(len(x), dtype=np.int8)), pa.array(y)],
+            names=_ROW_SCHEMA.names,
+        )
+
+    def closures(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["kind"] == 0]
+        w = g[g["kind"] == 1]
+        if e.empty or w.empty:
+            return pd.DataFrame({"n": pd.Series([0], dtype="int64")})
+        eset = set(zip(e["k"], e["val"]))
+        n = sum((x, y) in eset for x, y in zip(w["k"], w["val"]))
+        return pd.DataFrame({"n": pd.Series([n], dtype="int64")})
+
+    from ray.data.aggregate import Sum
+
+    oriented = (
+        edges.map_batches(directed_rows, batch_format="pyarrow")
+        .groupby("salt")
+        .map_groups(attach_deg_orient, batch_format="pandas")
+        .groupby("salt")
+        .map_groups(orient_and_wedges, batch_format="pandas")
+        .groupby("salt")
+        .map_groups(wedges, batch_format="pandas")
+        .map_batches(_restamp(_ROW_SCHEMA), batch_format="pyarrow")
+    )
+    etbl = edges.map_batches(edge_rows, batch_format="pyarrow")
+    part = (
+        etbl.union(oriented)
+        .groupby("salt")
+        .map_groups(closures, batch_format="pandas")
+    )
+    total = part.sum("n") or 0
+
+    return ray.data.from_arrow(
+        pa.Table.from_arrays([pa.array([int(total)], pa.int64())], names=["n_triangles"])
+    )
+
+
+def doc_dup_triangles(sf_dir: str) -> ray.data.Dataset:
+    """Triangle count of the MinHash-LSH candidate graph — a cluster-
+    cohesion signal (near-dup clusters that are cliques close many
+    triangles; chains close none). One row (n_triangles)."""
+    return triangle_count(lsh_star_edges(sf_dir))
+
+
+def dup_triangles_oracle_sql() -> str:
+    """DuckDB oracle: the same star edges, closed-wedge triple join with
+    a < b < c canonical ordering."""
+    return f"""{_mh_band_cte()}, bd AS (
+  SELECT DISTINCT band, bucket, doc_id FROM band
+), e0 AS (
+  SELECT min(doc_id) OVER (PARTITION BY band, bucket) AS a, doc_id AS b FROM bd
+), edges AS (
+  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM e0 WHERE a <> b
+)
+SELECT count(*)::BIGINT AS n_triangles
+FROM edges e1
+JOIN edges e2 ON e2.a = e1.a AND e2.b > e1.b
+JOIN edges e3 ON e3.a = e1.b AND e3.b = e2.b"""
+
+
 def dedup_cc_oracle_sql() -> str:
     """DuckDB oracle for doc_dedup_cc (keep = min doc of each component,
     singletons kept)."""

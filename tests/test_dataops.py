@@ -51,6 +51,10 @@ SQL_QUERIES = [
     "doc_dup_components",
     "doc_dedup_cc",
     "doc_dup_pagerank",
+    "doc_token_cms_registers",
+    "doc_token_cms_estimate",
+    "doc_tfidf_topk",
+    "doc_dup_triangles",
 ]
 
 

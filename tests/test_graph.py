@@ -88,6 +88,23 @@ def test_pagerank_star_center_dominates(ray_session):
     assert leaves.nunique() == 1
 
 
+def test_triangle_count_shapes(ray_session):
+    import ray.data
+
+    from lingvo__postagger_ner_ru_dnn_ray.stages.graph import triangle_count
+
+    def n_tri(a, b):
+        t = pa.table({"doc_a": a, "doc_b": b})
+        return int(triangle_count(ray.data.from_arrow(t)).to_pandas()["n_triangles"][0])
+
+    assert n_tri([1, 2, 1], [2, 3, 3]) == 1  # 3-cycle
+    assert n_tri([1, 2, 3, 4], [2, 3, 4, 1]) == 0  # 4-cycle, no chord
+    # K4 has 4 triangles
+    assert n_tri([1, 1, 1, 2, 2, 3], [2, 3, 4, 3, 4, 4]) == 4
+    # hub star has none
+    assert n_tri([0, 0, 0], [1, 2, 3]) == 0
+
+
 def test_cc_giant_cluster_linear(ray_session):
     # a 5k-node duplicate cluster (one hub linked to all) completes fast:
     # star edges keep CC linear where pair emission would be C(m,2)
