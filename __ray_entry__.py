@@ -262,6 +262,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_cms_registers": d.doc_token_cms_registers,
         "doc_token_cms_estimate": d.doc_token_cms_estimate,
         "doc_tfidf_topk": d.doc_tfidf_topk,
+        "doc_rep_ngram_signals": d.doc_rep_ngram_signals,
+        "doc_decontaminate": d.doc_decontaminate,
+        "doc_dup_spans": d.doc_dup_spans,
         # --- similarity search
         "emb_ann_topk": d.emb_ann_topk,
         "emb_ann_ivf": d.emb_ann_ivf,
@@ -279,6 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles": d.events_value_quantiles,
         "events_attribution": d.events_attribution,
         "events_distinct_users": d.events_distinct_users,
+        "events_funnel": d.events_funnel,
         # --- sampling / ranking / anti-join
         "doc_sample": d.doc_sample,
         "doc_sample_stratified": d.doc_sample_stratified,
@@ -494,6 +498,7 @@ def _dataops_sql() -> dict[str, str]:
         ),
         "doc_jaccard_join_prefix": d.prefix_join_oracle_sql(),
         "events_attribution": d.ATTRIBUTION_ORACLE_SQL,
+        "events_funnel": d.FUNNEL_ORACLE_SQL,
         "events_distinct_users": (
             "SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users "
             "FROM events GROUP BY event_type"
@@ -504,6 +509,9 @@ def _dataops_sql() -> dict[str, str]:
         "doc_token_cms_registers": d.CMS_REGISTERS_ORACLE_SQL,
         "doc_token_cms_estimate": d.CMS_ESTIMATE_ORACLE_SQL,
         "doc_tfidf_topk": d.tfidf_oracle_sql(),
+        "doc_rep_ngram_signals": d.REP_NGRAM_ORACLE_SQL,
+        "doc_decontaminate": d.DECONTAMINATE_ORACLE_SQL,
+        "doc_dup_spans": d.DUP_SPANS_ORACLE_SQL,
         # media_features / media_stats oracles are added in oracle_sql()
         # (they need the materialized payload path)
     }

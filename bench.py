@@ -208,6 +208,10 @@ def main() -> None:
         timed("doc_token_hll_registers", dataops.doc_token_hll_registers)
         timed("doc_tfidf_topk", dataops.doc_tfidf_topk)
         timed("doc_token_cms_registers", dataops.doc_token_cms_registers)
+        timed("doc_rep_ngram_signals", dataops.doc_rep_ngram_signals)
+        timed("doc_decontaminate", dataops.doc_decontaminate)
+        timed("doc_dup_spans", dataops.doc_dup_spans)
+        timed("events_funnel", dataops.events_funnel)
         timed("events_attribution", dataops.events_attribution)
         timed("events_distinct_users", dataops.events_distinct_users)
         timed("doc_token_freq", dataops.doc_token_freq)

@@ -3095,3 +3095,363 @@ WHERE len(list_intersect(sa.sh, sb.sh)) > 0
   AND 100 * len(list_intersect(sa.sh, sb.sh)) //
       (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= {t}
 """
+
+
+# --------------------------------------------------------------------------- #
+# Gopher-style repetition signals, benchmark decontamination, and corpus-level
+# duplicate-window counting — the quality-filter trio a training-data pipeline
+# runs before anything expensive (Rae et al. 2021 repetition heuristics;
+# Lee et al. 2021 substring-level dedup; Brown et al. 2020 test-set
+# decontamination). All signals are integer-valued so DuckDB reproduces them
+# bit-for-bit.
+
+
+def _batch_ngrams(doc: np.ndarray, w: np.ndarray, n: int):
+    """Vectorized n-gram extraction over an exploded (doc_id, token) batch:
+    returns (gram_doc_ids, gram_strings) for every n-token window that does
+    not cross a document boundary. One pandas string concat per offset —
+    no per-row Python loop."""
+    m = len(doc) - n + 1
+    if m <= 0:
+        return doc[:0], np.array([], dtype=object)
+    ok = np.ones(m, dtype=bool)
+    for j in range(1, n):
+        ok &= doc[:m] == doc[j:m + j]
+    s = pd.Series(w[:m], dtype=object)
+    for j in range(1, n):
+        s = s + " " + pd.Series(w[j:m + j], dtype=object)
+    return doc[:m][ok], s.to_numpy()[ok]
+
+
+def _explode_tokens(df: pd.DataFrame):
+    ex = (
+        df[["doc_id"]]
+        .assign(w=df["text"].str.split(" "))
+        .explode("w")
+        .reset_index(drop=True)
+    )
+    return ex["doc_id"].to_numpy(dtype=np.int64), ex["w"].to_numpy()
+
+
+def doc_rep_ngram_signals(sf_dir: str) -> ray.data.Dataset:
+    """Per-document n-gram repetition signals (the Gopher quality-filter
+    family): total 2-gram positions, occurrences of the most frequent
+    2-gram, total 3-gram positions, and positions covered by repeated
+    3-grams. A row is a whole document, so one pure ``map_batches`` pass
+    is exact — no shuffle at all. Downstream filters threshold the
+    ratios (e.g. top2_cnt/n_2grams > 0.2 → drop)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        doc, w = _explode_tokens(df)
+        out = pd.DataFrame({"doc_id": df["doc_id"].astype("int64")})
+        d2, g2 = _batch_ngrams(doc, w, 2)
+        c2 = (
+            pd.DataFrame({"d": d2, "g": g2})
+            .groupby(["d", "g"], sort=False).size().reset_index(name="c")
+        )
+        a2 = c2.groupby("d", sort=False)["c"].agg(["sum", "max"])
+        d3, g3 = _batch_ngrams(doc, w, 3)
+        c3 = (
+            pd.DataFrame({"d": d3, "g": g3})
+            .groupby(["d", "g"], sort=False).size().reset_index(name="c")
+        )
+        a3 = c3.groupby("d", sort=False)["c"].sum()
+        a3dup = c3[c3["c"] > 1].groupby("d", sort=False)["c"].sum()
+        ids = out["doc_id"]
+        out["n_2grams"] = ids.map(a2["sum"]).fillna(0).astype("int64")
+        out["top2_cnt"] = ids.map(a2["max"]).fillna(0).astype("int64")
+        out["n_3grams"] = ids.map(a3).fillna(0).astype("int64")
+        out["dup3_pos"] = ids.map(a3dup).fillna(0).astype("int64")
+        return out
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pandas")
+
+
+REP_NGRAM_ORACLE_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), g2 AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+  FROM t, LATERAL unnest(generate_series(1, len(w)-1)) u(i)
+), c2 AS (
+  SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g
+), a2 AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_2grams, max(c)::BIGINT AS top2_cnt
+  FROM c2 GROUP BY doc_id
+), g3 AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+  FROM t, LATERAL unnest(generate_series(1, len(w)-2)) u(i)
+), c3 AS (
+  SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g
+), a3 AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_3grams,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS dup3_pos
+  FROM c3 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a2.n_2grams, 0)::BIGINT AS n_2grams,
+       coalesce(a2.top2_cnt, 0)::BIGINT AS top2_cnt,
+       coalesce(a3.n_3grams, 0)::BIGINT AS n_3grams,
+       coalesce(a3.dup3_pos, 0)::BIGINT AS dup3_pos
+FROM documents d
+LEFT JOIN a2 ON a2.doc_id = d.doc_id
+LEFT JOIN a3 ON a3.doc_id = d.doc_id
+"""
+
+
+_DECON_MOD = 97  # doc_id % _DECON_MOD == 0 plays the held-out benchmark
+_DECON_N = 5  # n-gram width for contamination matching
+
+
+def doc_decontaminate(sf_dir: str) -> ray.data.Dataset:
+    """Benchmark decontamination (GPT-3 appendix-C style): flag every
+    training document containing any {_DECON_N}-gram that also appears in
+    the held-out benchmark slice (here: doc_id % {_DECON_MOD} == 0 plays
+    the benchmark). Scale shape: the benchmark is the SMALL side — its
+    distinct n-grams are collected once (driver pull bounded by benchmark
+    size, the same discipline as the entity dictionary and IVF centroids)
+    and broadcast via ``ray.put``; the 100-TB training side streams through
+    one pure membership ``map_batches`` (pandas ``isin`` against the
+    broadcast set — C-speed, no shuffle, no join). Emits
+    (doc_id, n_hits, contaminated) for every non-benchmark doc."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def bench_grams(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["doc_id"] % _DECON_MOD == 0]
+        if df.empty:
+            return pd.DataFrame({"g": pd.Series([], dtype="object")})
+        doc, w = _explode_tokens(df)
+        _, g = _batch_ngrams(doc, w, _DECON_N)
+        return pd.DataFrame({"g": pd.unique(g)})
+
+    bench = docs.map_batches(bench_grams, batch_format="pandas").to_pandas()
+    ref = ray.put(frozenset(bench["g"]))
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        bset = ray.get(ref)
+        df = df[df["doc_id"] % _DECON_MOD != 0]
+        out = pd.DataFrame({"doc_id": df["doc_id"].astype("int64")})
+        doc, w = _explode_tokens(df)
+        d, g = _batch_ngrams(doc, w, _DECON_N)
+        hit = pd.Series(g).isin(bset).to_numpy()
+        hits = pd.Series(d[hit]).value_counts()
+        out["n_hits"] = out["doc_id"].map(hits).fillna(0).astype("int64")
+        out["contaminated"] = (out["n_hits"] > 0).astype("int64")
+        return out
+
+    return docs.map_batches(scan, batch_format="pandas")
+
+
+DECONTAMINATE_ORACLE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), g AS (
+  SELECT doc_id, array_to_string(w[i:i+{_DECON_N - 1}], ' ') AS g5
+  FROM t, LATERAL unnest(generate_series(1, len(w)-{_DECON_N - 1})) u(i)
+), bench AS (
+  SELECT DISTINCT g5 FROM g WHERE doc_id % {_DECON_MOD} = 0
+), hits AS (
+  SELECT g.doc_id, count(*)::BIGINT AS n_hits
+  FROM g JOIN bench USING (g5)
+  WHERE g.doc_id % {_DECON_MOD} <> 0
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END::BIGINT
+         AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE d.doc_id % {_DECON_MOD} <> 0
+"""
+
+
+_DUPSPAN_W = 8  # duplicate-substring window width (tokens)
+
+
+def doc_dup_spans(sf_dir: str) -> ray.data.Dataset:
+    """Corpus-level duplicate-window counting (the discovery pass of
+    Lee et al. substring dedup): an 8-token window position is *duplicated*
+    iff its exact token sequence occurs ≥2 times anywhere in the corpus.
+    Emits (doc_id, n_windows, n_dup_windows) per document.
+
+    Scale shape — two salted co-partitioned exchanges, both bounded:
+    1. per-batch (gram, doc, cnt) partials (a row is a whole doc, so cnt is
+       exact), routed by salt(gram): each partition sums its grams' GLOBAL
+       counts, keeps only grams with total ≥ 2, and re-emits each
+       surviving (doc, cnt) routed by salt(doc) — duplicate mass only.
+    2. per-doc window totals (kind 0) flow straight to salt(doc); the
+       union is one vectorized per-partition merge. Gram STRINGS are the
+       group keys (exact — no hash-collision risk); they never leave
+       exchange 1."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def win_partials(df: pd.DataFrame) -> pd.DataFrame:
+        doc, w = _explode_tokens(df)
+        d, g = _batch_ngrams(doc, w, _DUPSPAN_W)
+        c = (
+            pd.DataFrame({"doc_id": d, "g": g})
+            .groupby(["doc_id", "g"], sort=False).size().reset_index(name="cnt")
+        )
+        return pd.DataFrame({
+            "salt": pd.Series(_term_salt(c["g"]), dtype="int64"),
+            "kind": pd.Series(np.ones(len(c), dtype=np.int8), dtype="int8"),
+            "g": c["g"].astype(str),
+            "doc_id": c["doc_id"].astype("int64"),
+            "cnt": c["cnt"].astype("int64"),
+        })
+
+    def doc_totals(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        nw = (
+            df["text"].str.count(" ").to_numpy(dtype=np.int64)
+            + 1 - (_DUPSPAN_W - 1)
+        )
+        return pd.DataFrame({
+            "salt": pd.Series(_key_salt(ids), dtype="int64"),
+            "kind": pd.Series(np.zeros(len(df), dtype=np.int8), dtype="int8"),
+            "g": pd.Series([""] * len(df), dtype="object"),
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "cnt": pd.Series(np.maximum(nw, 0), dtype="int64"),
+        })
+
+    def dup_mass(g: pd.DataFrame) -> pd.DataFrame:
+        # all partials of a gram share this partition → exact global count
+        if g.empty:
+            return pd.DataFrame({
+                "salt": pd.Series([], dtype="int64"),
+                "kind": pd.Series([], dtype="int8"),
+                "g": pd.Series([], dtype="object"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "cnt": pd.Series([], dtype="int64"),
+            })
+        tot = g.groupby("g", sort=False)["cnt"].transform("sum")
+        keep = g[tot.to_numpy() >= 2]
+        ids = keep["doc_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "salt": pd.Series(_key_salt(ids), dtype="int64"),
+            "kind": pd.Series(np.ones(len(keep), dtype=np.int8), dtype="int8"),
+            "g": pd.Series([""] * len(keep), dtype="object"),
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "cnt": keep["cnt"].astype("int64").reset_index(drop=True),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        t = g[g["kind"] == 0]
+        dup = g[g["kind"] == 1].groupby("doc_id", sort=False)["cnt"].sum()
+        return pd.DataFrame({
+            "doc_id": t["doc_id"].astype("int64").reset_index(drop=True),
+            "n_windows": t["cnt"].astype("int64").reset_index(drop=True),
+            "n_dup_windows": t["doc_id"].map(dup).fillna(0).astype("int64")
+            .reset_index(drop=True),
+        })
+
+    row_schema = pa.schema(
+        [("salt", pa.int64()), ("kind", pa.int8()), ("g", pa.string()),
+         ("doc_id", pa.int64()), ("cnt", pa.int64())]
+    )
+
+    def restamp(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return row_schema.empty_table()
+        return batch.select(row_schema.names).cast(row_schema)
+
+    dup_stream = (
+        docs.map_batches(win_partials, batch_format="pandas")
+        .groupby("salt")
+        .map_groups(dup_mass, batch_format="pandas")
+        .map_batches(restamp, batch_format="pyarrow")
+    )
+    totals = docs.map_batches(doc_totals, batch_format="pandas").map_batches(
+        restamp, batch_format="pyarrow"
+    )
+    return totals.union(dup_stream).groupby("salt").map_groups(
+        merge, batch_format="pandas"
+    )
+
+
+DUP_SPANS_ORACLE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), g AS (
+  SELECT doc_id, array_to_string(w[i:i+{_DUPSPAN_W - 1}], ' ') AS g8
+  FROM t, LATERAL unnest(generate_series(1, len(w)-{_DUPSPAN_W - 1})) u(i)
+), tot AS (
+  SELECT g8, count(*) AS c FROM g GROUP BY g8
+), dup AS (
+  SELECT g.doc_id, count(*)::BIGINT AS n_dup
+  FROM g JOIN tot USING (g8) WHERE tot.c >= 2 GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       greatest(len(string_split(d.text, ' ')) - {_DUPSPAN_W - 1}, 0)::BIGINT
+         AS n_windows,
+       coalesce(dup.n_dup, 0)::BIGINT AS n_dup_windows
+FROM documents d LEFT JOIN dup ON dup.doc_id = d.doc_id
+"""
+
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def events_funnel(sf_dir: str) -> ray.data.Dataset:
+    """Strict-order conversion funnel over the event stream: per user the
+    earliest 'view', then the earliest 'click' strictly after it, then the
+    earliest 'purchase' strictly after that; emits (step, step_name,
+    n_users) for the three stages. One salted exchange co-locates each
+    user's events; the per-partition interior is three vectorized
+    groupby-min/merge passes; the final combine is 3·P partial rows."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        uid = np.asarray(batch.column("user_id"), dtype=np.int64)
+        return batch.append_column("salt", pa.array(_key_salt(uid)))
+
+    def funnel_part(g: pd.DataFrame) -> pd.DataFrame:
+        t1 = (
+            g[g["event_type"] == _FUNNEL_STEPS[0]]
+            .groupby("user_id", sort=False)["ts"].min().rename("t_prev")
+        )
+        counts = [len(t1)]
+        prev = t1
+        for step in _FUNNEL_STEPS[1:]:
+            e = g[g["event_type"] == step].merge(
+                prev, left_on="user_id", right_index=True, how="inner"
+            )
+            e = e[e["ts"] > e["t_prev"]]
+            prev = e.groupby("user_id", sort=False)["ts"].min().rename("t_prev")
+            counts.append(len(prev))
+        return pd.DataFrame({
+            "step": pd.Series([1, 2, 3], dtype="int64"),
+            "step_name": pd.Series(list(_FUNNEL_STEPS), dtype="object"),
+            "n_users": pd.Series(counts, dtype="int64"),
+        })
+
+    part = (
+        ev.map_batches(add_salt, batch_format="pyarrow")
+        .groupby("salt")
+        .map_groups(funnel_part, batch_format="pandas")
+    )
+    return part.groupby(["step", "step_name"]).aggregate(
+        Sum("n_users", alias_name="n_users")
+    )
+
+
+FUNNEL_ORACLE_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+  JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+  JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT 1::BIGINT AS step, 'view' AS step_name, count(*)::BIGINT AS n_users FROM v
+UNION ALL
+SELECT 2::BIGINT, 'click', count(*)::BIGINT FROM c
+UNION ALL
+SELECT 3::BIGINT, 'purchase', count(*)::BIGINT FROM p
+"""

@@ -55,6 +55,10 @@ SQL_QUERIES = [
     "doc_token_cms_estimate",
     "doc_tfidf_topk",
     "doc_dup_triangles",
+    "doc_rep_ngram_signals",
+    "doc_decontaminate",
+    "doc_dup_spans",
+    "events_funnel",
 ]
 
 
