@@ -3280,8 +3280,11 @@ def doc_dup_spans(sf_dir: str) -> ray.data.Dataset:
        surviving (doc, cnt) routed by salt(doc) — duplicate mass only.
     2. per-doc window totals (kind 0) flow straight to salt(doc); the
        union is one vectorized per-partition merge. Gram STRINGS are the
-       group keys (exact — no hash-collision risk); they never leave
-       exchange 1."""
+       group keys (exact — no hash-collision risk); after exchange 1 only
+       (doc, cnt) integers move. At 100 TB the exchange-1 payload can be
+       shrunk 2-3× by keying on md5(gram) digests instead (collision-free
+       grouping, same result — the doc_dedup_exact discipline); strings
+       are kept here because they are what the SQL oracle groups on."""
     docs = _docs(sf_dir, ["doc_id", "text"])
 
     def win_partials(df: pd.DataFrame) -> pd.DataFrame:
