@@ -215,6 +215,23 @@ def _emb_ann_ivf_recall(sf_dir: str):
     return emb_ann_ivf_recall(sf_dir, ivf_path=_ivf_dir(sf_dir))
 
 
+def _interval_q(sf_dir: str):
+    from lingvo__postagger_ner_ru_dnn_ray.stages.intervals import (
+        events_interval_join,
+    )
+
+    return events_interval_join(sf_dir)
+
+
+def _bloom_q(name: str) -> Callable[[str], Any]:
+    def run(sf_dir: str):
+        from lingvo__postagger_ner_ru_dnn_ray.stages import bloom as b
+
+        return getattr(b, name)(sf_dir)
+
+    return run
+
+
 def _graph_q(name: str) -> Callable[[str], Any]:
     def run(sf_dir: str):
         from lingvo__postagger_ner_ru_dnn_ray.stages import graph as g
@@ -283,6 +300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_attribution": d.events_attribution,
         "events_distinct_users": d.events_distinct_users,
         "events_funnel": d.events_funnel,
+        "events_interval_join": _interval_q,
         # --- sampling / ranking / anti-join
         "doc_sample": d.doc_sample,
         "doc_sample_stratified": d.doc_sample_stratified,
@@ -297,6 +315,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_month": d.orders_by_month,
         "region_nation_counts": d.region_nation_counts,
         "events_top_users": d.events_top_users,
+        # --- bloom-prefiltered exact semi-join family
+        "orders_bloom_registers": _bloom_q("orders_bloom_registers"),
+        "lineitem_bloom_semijoin": _bloom_q("lineitem_bloom_semijoin"),
+        "lineitem_bloom_fp_stats": _bloom_q("lineitem_bloom_fp_stats"),
     }
 
 
@@ -514,6 +536,18 @@ def _dataops_sql() -> dict[str, str]:
         "doc_dup_spans": d.DUP_SPANS_ORACLE_SQL,
         # media_features / media_stats oracles are added in oracle_sql()
         # (they need the materialized payload path)
+    } | _interval_bloom_sql()
+
+
+def _interval_bloom_sql() -> dict[str, str]:
+    from lingvo__postagger_ner_ru_dnn_ray.stages import bloom as b
+    from lingvo__postagger_ner_ru_dnn_ray.stages import intervals as iv
+
+    return {
+        "events_interval_join": iv.EVENTS_INTERVAL_ORACLE_SQL,
+        "orders_bloom_registers": b.bloom_registers_oracle_sql(),
+        "lineitem_bloom_semijoin": b.bloom_semijoin_oracle_sql(),
+        "lineitem_bloom_fp_stats": b.bloom_fp_stats_oracle_sql(),
     }
 
 

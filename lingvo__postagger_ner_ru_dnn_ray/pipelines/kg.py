@@ -35,7 +35,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from ..stages.conflate import conflate_edges, nodes_from_edges
+from ..stages.conflate import EDGE_KEYS, conflate_edges, nodes_from_edges
 from ..stages.linking import LinkerStage, put_linking_dict
 from ..stages.mentions import mentions_batch
 from ..stages.tag import TaggerStage
@@ -244,6 +244,48 @@ def run_kg_job(
             n += m["rows"]
         rows[t] = n
     return {"skipped": False, "partitions_done": sorted(done), "partitions_run": todo, "rows": rows}
+
+
+def merge_kg_runs(run_dirs: list[str], out_dir: str) -> dict:
+    """Incremental KG maintenance: merge the AGGREGATED graph views of
+    several delta runs (disjoint conversation sets — e.g. daily transcript
+    drops each processed by ``run_kg_job``) into one edges/nodes view
+    WITHOUT re-running extraction.
+
+    Edge rows are already partial aggregates keyed (part, subj_id, pred,
+    obj_id) with mergeable stats (weight = sum, canon/type = min), so the
+    merge is exactly one salted final combine over the concatenated edge
+    tables — input size O(distinct edges), never O(triples). Nodes are
+    re-derived from the merged edges (each triple contributes 1 to each
+    endpoint, same identity ``run_kg_job`` uses). Triples stay where each
+    delta wrote them: they are an append-only fact log partitioned by
+    hash(conv_id), and conversation-disjoint deltas never produce the
+    same triple twice, so their union needs no rewrite.
+
+    This merged-view-equals-one-shot-run identity is pinned by
+    tests/test_pipeline_ray.py::test_kg_incremental_merge."""
+    from ..stages.conflate import _salted_final_agg
+
+    reads = [ray.data.read_parquet(f"{d}/edges") for d in run_dirs]
+    edges = reads[0]
+    for r in reads[1:]:
+        edges = edges.union(r)
+    keys = ["part"] + EDGE_KEYS
+    merged = _salted_final_agg(
+        edges, keys,
+        sums=["weight"],
+        mins=["subj_type", "obj_type", "subj_canon", "obj_canon"],
+    )
+    out = {t: str(Path(out_dir) / t) for t in ("edges", "nodes")}
+    merged.write_parquet(out["edges"], partition_cols=["part"])
+    edges_written = ray.data.read_parquet(out["edges"])
+    nodes_ds = nodes_from_edges(edges_written, extra_keys=["part"])
+    nodes_ds.write_parquet(out["nodes"], partition_cols=["part"])
+    return {
+        "edges": ray.data.read_parquet(out["edges"]).count(),
+        "nodes": ray.data.read_parquet(out["nodes"]).count(),
+        "triples_dirs": [f"{d}/triples" for d in run_dirs],
+    }
 
 
 def _main() -> None:

@@ -266,3 +266,46 @@ def test_kg_job_unsorted_equals_sorted(fixture_path, tmp_path):
         a = pq.read_table(out_a / table)
         b = pq.read_table(out_b / table)
         assert _sorted_df(a, keys).equals(_sorted_df(b, keys)), table
+
+
+def test_kg_incremental_merge(ray_session, tmp_path):
+    """Incremental maintenance: two conversation-disjoint delta runs,
+    merged by merge_kg_runs over the AGGREGATED edge tables only, must
+    produce byte-identical edges/nodes to one job over the full input."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    from lingvo__postagger_ner_ru_dnn_ray.pipelines.kg import merge_kg_runs
+
+    base = synth_transcripts_table(400, seed=13).to_pandas()
+    convs = sorted(base["conv_id"].unique())
+    half = set(convs[: len(convs) // 2])
+    for name, mask in (("a", base["conv_id"].isin(half)),
+                       ("b", ~base["conv_id"].isin(half)),
+                       ("full", base["conv_id"].notna())):
+        d = tmp_path / f"src_{name}"
+        d.mkdir()
+        t = pa.Table.from_pandas(base[mask], preserve_index=False)
+        t = t.set_column(
+            t.schema.get_field_index("turn_idx"), "turn_idx",
+            t.column("turn_idx").cast(pa.int32()),
+        )
+        pq_mod.write_table(t, d / "part-0.parquet")
+
+    outs = {}
+    for name in ("a", "b", "full"):
+        outs[name] = tmp_path / f"kg_{name}"
+        run_kg_job(str(tmp_path / f"src_{name}"), str(outs[name]),
+                   num_partitions=4, tag_concurrency=2)
+
+    merged = tmp_path / "kg_merged"
+    res = merge_kg_runs([str(outs["a"]), str(outs["b"])], str(merged))
+    assert res["edges"] > 0 and res["nodes"] > 0
+
+    for t, keys in (("edges", ["part", "subj_id", "pred", "obj_id"]),
+                    ("nodes", ["part", "entity_id"])):
+        got = pq_mod.read_table(merged / t).to_pandas()
+        want = pq_mod.read_table(outs["full"] / t).to_pandas()
+        got["part"] = got["part"].astype("int64")
+        want["part"] = want["part"].astype("int64")
+        assert _sorted_df(got, keys).equals(_sorted_df(want, keys)), t
