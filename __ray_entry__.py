@@ -279,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_cms_registers": d.doc_token_cms_registers,
         "doc_token_cms_estimate": d.doc_token_cms_estimate,
         "doc_tfidf_topk": d.doc_tfidf_topk,
+        "doc_bm25_topk": d.doc_bm25_topk,
         "doc_rep_ngram_signals": d.doc_rep_ngram_signals,
         "doc_decontaminate": d.doc_decontaminate,
         "doc_dup_spans": d.doc_dup_spans,
@@ -531,6 +532,7 @@ def _dataops_sql() -> dict[str, str]:
         "doc_token_cms_registers": d.CMS_REGISTERS_ORACLE_SQL,
         "doc_token_cms_estimate": d.CMS_ESTIMATE_ORACLE_SQL,
         "doc_tfidf_topk": d.tfidf_oracle_sql(),
+        "doc_bm25_topk": d.bm25_oracle_sql(),
         "doc_rep_ngram_signals": d.REP_NGRAM_ORACLE_SQL,
         "doc_decontaminate": d.DECONTAMINATE_ORACLE_SQL,
         "doc_dup_spans": d.DUP_SPANS_ORACLE_SQL,

@@ -3056,6 +3056,192 @@ SELECT doc_id,
 FROM sc QUALIFY rank <= {k}"""
 
 
+# --------------------------------------------------------------------------- #
+# BM25 retrieval: inverted-index scoring for a fixed query workload
+
+# (query_id, term) — the retrieval workload; a term may serve any number
+# of queries. At scale this is the small side: stats for |terms| tokens.
+_BM25_QUERIES: tuple[tuple[int, str], ...] = (
+    (0, "hash"), (0, "join"),
+    (1, "window"), (1, "sort"), (1, "merge"),
+    (2, "spark"), (2, "stream"),
+)
+_BM25_K = 10
+_BM25_IDF_SCALE = 1_000_000
+
+
+def _bm25_scores(tf: np.ndarray, dl: np.ndarray, idf: np.ndarray,
+                 n: int, t: int) -> np.ndarray:
+    """Integer-exact BM25(k1=1.2, b=0.75) per (doc, term).
+
+    term = idf · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)) with
+    avgdl = T/N becomes, after multiplying through by 20·T,
+        idf · 44·tf·T / (20·T·tf + 6·T + 18·dl·N)
+    — an integer numerator/denominator. The one float64 division (and the
+    fixed left-assoc multiply chain feeding it) is IEEE-deterministic, so
+    DuckDB computes bit-identical doubles; flooring to int64 BEFORE the
+    per-query sum makes the total order-independent. (Same
+    quantize-before-decide discipline as emb_neardup_lsh / doc_sample.)"""
+    den = 20 * t * tf + 6 * t + 18 * dl * n  # int64, exact
+    num = ((idf.astype(np.float64) * 44.0) * tf.astype(np.float64)) * float(t)
+    return np.floor(num / den.astype(np.float64)).astype(np.int64)
+
+
+def doc_bm25_topk(sf_dir: str, k: int = _BM25_K) -> ray.data.Dataset:
+    """Top-k documents per query under BM25 — the lexical-retrieval
+    complement of emb_ann_topk (dense) and doc_tfidf_topk (per-doc terms).
+
+    Scale shape:
+    1. ONE stats pass, partial-aggregated: per-batch (term → per-doc df
+       partial) for the |query terms| tokens only, plus corpus N and
+       total-token T counters — a (key, val) partial table whose final
+       groupby is O(|terms|+2); driver pull bounded by the same.
+    2. ONE zero-shuffle scoring pass: tf per (doc, query-term) via
+       Arrow list-flatten + is_in (never a full vocabulary explode),
+       per-batch per-query partial top-k (a doc never spans batches).
+    3. Final top-k over ≤ blocks × |queries| × k tiny partial rows.
+    Emits (query_id, rank, doc_id, score)."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    terms = sorted({t for _, t in _BM25_QUERIES})
+    terms_arr = pa.array(terms)
+
+    def stats_partials(batch: pa.Table) -> pa.Table:
+        ws = pc.split_pattern(batch.column("text"), " ")
+        flat = pc.list_flatten(ws)
+        parent = pc.list_parent_indices(ws)
+        mask = pc.is_in(flat, value_set=terms_arr)
+        hits = pa.Table.from_arrays(
+            [flat.filter(mask), parent.filter(mask)], names=["term", "i"]
+        )
+        # df partial: docs-in-batch containing each term
+        g = hits.group_by(["term", "i"]).aggregate([]).group_by("term").aggregate(
+            [([], "count_all")]
+        )
+        keys = g.column("term").to_pylist() + ["__N__", "__T__"]
+        vals = [int(v) for v in g.column("count_all").to_pylist()] + [
+            batch.num_rows, int(pc.sum(pc.list_value_length(ws)).as_py() or 0)
+        ]
+        return pa.Table.from_arrays(
+            [pa.array(keys, pa.string()), pa.array(vals, pa.int64())],
+            names=["key", "val"],
+        )
+
+    stats = (
+        docs.map_batches(stats_partials, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("val", alias_name="val"))
+        .to_pandas()  # ≤ |terms|+2 rows
+    )
+    sd = dict(zip(stats["key"], stats["val"]))
+    n_docs, n_tokens = int(sd.pop("__N__")), int(sd.pop("__T__"))
+    # integer idf with +1 smoothing (never ≤0, df=0 terms simply no-op)
+    idf = {
+        t: ((n_docs - int(sd.get(t, 0)) + 1) * _BM25_IDF_SCALE)
+        // (int(sd.get(t, 0)) + 1)
+        for t in terms
+    }
+    qmap = pd.DataFrame(_BM25_QUERIES, columns=["query_id", "term"])
+
+    out_schema = pa.schema(
+        [("query_id", pa.int64()), ("doc_id", pa.int64()), ("score", pa.int64())]
+    )
+
+    def score_partials(batch: pa.Table) -> pa.Table:
+        ws = pc.split_pattern(batch.column("text"), " ")
+        dl_all = np.asarray(pc.list_value_length(ws), dtype=np.int64)
+        flat = pc.list_flatten(ws)
+        parent = pc.list_parent_indices(ws)
+        mask = pc.is_in(flat, value_set=terms_arr)
+        if int(pc.sum(pc.cast(mask, pa.int64())).as_py() or 0) == 0:
+            return out_schema.empty_table()
+        hits = pa.Table.from_arrays(
+            [flat.filter(mask), parent.filter(mask)], names=["term", "i"]
+        )
+        tf = (
+            hits.group_by(["i", "term"]).aggregate([([], "count_all")])
+            .rename_columns(["i", "term", "tf"]).to_pandas()
+        )
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        tf["score"] = _bm25_scores(
+            tf["tf"].to_numpy(np.int64), dl_all[tf["i"].to_numpy()],
+            tf["term"].map(idf).to_numpy(np.int64), n_docs, n_tokens,
+        )
+        sc = tf.merge(qmap, on="term").groupby(
+            ["query_id", "i"], as_index=False
+        )["score"].sum()
+        sc["doc_id"] = ids[sc["i"].to_numpy()]
+        # per-batch partial top-k (a doc never spans batches)
+        sc = sc.sort_values(
+            ["query_id", "score", "doc_id"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        sc = sc[sc.groupby("query_id", sort=False).cumcount() < k]
+        return pa.Table.from_arrays(
+            [pa.array(sc["query_id"].to_numpy(np.int64)),
+             pa.array(sc["doc_id"].to_numpy(np.int64)),
+             pa.array(sc["score"].to_numpy(np.int64))],
+            schema=out_schema,
+        )
+
+    final_schema = pa.schema(
+        [("query_id", pa.int64()), ("rank", pa.int64()),
+         ("doc_id", pa.int64()), ("score", pa.int64())]
+    )
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["query_id", "score", "doc_id"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        df["rank"] = df.groupby("query_id", sort=False).cumcount() + 1
+        df = df[df["rank"] <= k]
+        return df[["query_id", "rank", "doc_id", "score"]].astype("int64")
+
+    partial = docs.map_batches(score_partials, batch_format="pyarrow")
+    # ≤ blocks × |queries| × k partial rows → one block, one final sort
+    return partial.repartition(1).map_batches(
+        final_topk, batch_format="pandas", batch_size=None
+    )
+
+
+def bm25_oracle_sql(k: int = _BM25_K) -> str:
+    """Reproduces doc_bm25_topk bit-for-bit: same integer idf, same
+    left-assoc float64 multiply chain and single division (IEEE-identical
+    in DuckDB), floor-to-int per term before the per-query sum."""
+    qvals = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), dl AS (
+  SELECT doc_id, len(ws)::BIGINT AS dl FROM d
+), tot AS (
+  SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS t FROM dl
+), q(query_id, term) AS (VALUES {qvals}),
+tok AS (
+  SELECT doc_id, unnest(ws) AS term FROM d
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+  WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+), df AS (
+  SELECT q.term, count(DISTINCT tf.doc_id)::BIGINT AS df
+  FROM (SELECT DISTINCT term FROM q) q LEFT JOIN tf USING (term) GROUP BY q.term
+), sc AS (
+  SELECT q.query_id, tf.doc_id,
+    sum(floor(
+      ((((((tot.n - df.df + 1) * {_BM25_IDF_SCALE}) // (df.df + 1))::DOUBLE
+        * 44) * tf.tf) * tot.t)
+      / (20 * tot.t * tf.tf + 6 * tot.t + 18 * dl.dl * tot.n)
+    ))::BIGINT AS score
+  FROM tf JOIN q USING (term) JOIN df USING (term) JOIN dl USING (doc_id), tot
+  GROUP BY q.query_id, tf.doc_id
+)
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id)
+         AS rank,
+       doc_id, score
+FROM sc QUALIFY rank <= {k}"""
+
+
 def prefix_join_oracle_sql(threshold_pct: int = 50) -> str:
     """Reproduces doc_jaccard_join_prefix exactly: same shingles, same
     md5-mod-2^31-1 rarity ordering, same integer prefix length, same

@@ -59,6 +59,7 @@ SQL_QUERIES = [
     "doc_decontaminate",
     "doc_dup_spans",
     "events_funnel",
+    "doc_bm25_topk",
     "events_interval_join",
     "orders_bloom_registers",
     "lineitem_bloom_semijoin",
