@@ -302,6 +302,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": d.events_distinct_users,
         "events_funnel": d.events_funnel,
         "events_interval_join": _interval_q,
+        "events_daily_hll_registers": d.events_daily_hll_registers,
+        "events_daily_hll_estimate": d.events_daily_hll_estimate,
         # --- sampling / ranking / anti-join
         "doc_sample": d.doc_sample,
         "doc_sample_stratified": d.doc_sample_stratified,
@@ -529,6 +531,8 @@ def _dataops_sql() -> dict[str, str]:
         "doc_sample_stratified": d.stratified_sample_oracle_sql(),
         "doc_token_hll_registers": d.HLL_REGISTERS_ORACLE_SQL,
         "doc_token_hll_estimate": d.HLL_ESTIMATE_ORACLE_SQL,
+        "events_daily_hll_registers": d.DAILY_HLL_REGISTERS_ORACLE_SQL,
+        "events_daily_hll_estimate": d.DAILY_HLL_ESTIMATE_ORACLE_SQL,
         "doc_token_cms_registers": d.CMS_REGISTERS_ORACLE_SQL,
         "doc_token_cms_estimate": d.CMS_ESTIMATE_ORACLE_SQL,
         "doc_tfidf_topk": d.tfidf_oracle_sql(),

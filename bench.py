@@ -220,6 +220,11 @@ def main() -> None:
         timed("emb_neardup_lsh", dataops.emb_neardup_lsh)
         timed("events_window", dataops.events_window)
         timed("lineitem_pricing", dataops.lineitem_pricing)
+        timed("doc_bm25_topk", dataops.doc_bm25_topk)
+        from lingvo__postagger_ner_ru_dnn_ray.stages import bloom, intervals
+
+        timed("lineitem_bloom_semijoin", bloom.lineitem_bloom_semijoin)
+        timed("events_interval_join", intervals.events_interval_join)
 
     print(json.dumps({
         "metric": "kg_e2e_sec",

@@ -2692,6 +2692,145 @@ FROM raw
 
 
 # --------------------------------------------------------------------------- #
+# GROUPED HLL — one sketch per group key, merged by (group, register).
+# Unlike the global doc_token_hll_* pair (driver reads the one 1024-row
+# register table), the grouped form never touches the driver at all: the
+# estimate runs inside map_groups and the result itself is O(groups).
+# This is the "distinct users per day over a year of 100 TB logs" shape —
+# groups × 1024 bounded rows through the only shuffle.
+
+_DAY_US = 86_400_000_000
+
+
+def _hll_int_partials(day: np.ndarray, uid: np.ndarray) -> pd.DataFrame:
+    """(day, register, max_rho) partials for int64 keys — fully
+    vectorized multiply-shift hashing (no per-item md5: integer keys get
+    the HUGEINT-reproducible golden-ratio hash, cf. doc_sample)."""
+    pairs = pd.DataFrame({"day": day, "uid": uid}).drop_duplicates()
+    h = pairs["uid"].to_numpy(np.int64).astype(np.uint64) * np.uint64(
+        0x9E3779B97F4A7C15
+    )
+    reg = (h % np.uint64(_HLL_M)).astype(np.int64)
+    v = ((h >> np.uint64(_HLL_B)) & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    rho = np.where(v > 0, 33 - np.frexp(v.astype(np.float64))[1], 33).astype(np.int64)
+    g = pd.DataFrame({"day": pairs["day"].to_numpy(np.int64), "register": reg,
+                      "max_rho": rho}).groupby(
+        ["day", "register"], as_index=False
+    )["max_rho"].max()
+    return g
+
+
+def events_daily_hll_registers(sf_dir: str) -> ray.data.Dataset:
+    """Per-day HLL(m=1024) register tables over event user_ids."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ts_us = np.asarray(
+            pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")), pa.int64())
+        )
+        g = _hll_int_partials(
+            ts_us // _DAY_US, np.asarray(batch.column("user_id"), dtype=np.int64)
+        )
+        return pa.Table.from_arrays(
+            [pa.array(g["day"].to_numpy(np.int64)),
+             pa.array(g["register"].to_numpy(np.int64)),
+             pa.array(g["max_rho"].to_numpy(np.int64))],
+            names=["day", "register", "max_rho"],
+        )
+
+    return (
+        ev.map_batches(partials, batch_format="pyarrow")
+        .groupby(["day", "register"])
+        .aggregate(Max("max_rho", alias_name="max_rho"))
+    )
+
+
+_DAILY_HLL_SCHEMA = pa.schema(
+    [("day", pa.int64()), ("n_registers_used", pa.int64()),
+     ("sum_scaled", pa.int64()), ("est_millis", pa.int64())]
+)
+
+
+def events_daily_hll_estimate(sf_dir: str) -> ray.data.Dataset:
+    """Per-day distinct-user estimates from the grouped register tables —
+    the estimate math of doc_token_hll_estimate, run DISTRIBUTED inside
+    map_groups (each group ≤ 1024 register rows; Python dispatch is
+    O(days), the interior integer-exact with one IEEE division + libm
+    log, identical to DuckDB)."""
+    regs = events_daily_hll_registers(sf_dir)
+
+    def estimate(g: pd.DataFrame) -> pd.DataFrame:
+        rho = g["max_rho"].to_numpy(np.int64)
+        n_used = len(g)
+        sum_scaled = int((np.int64(1) << (np.int64(33) - rho)).sum()) + (
+            (_HLL_M - n_used) << 33
+        )
+        alpha = 0.7213 / (1 + 1.079 / _HLL_M)
+        est = alpha * _HLL_M * _HLL_M * 8589934592.0 / sum_scaled
+        n_empty = _HLL_M - n_used
+        if est <= 2.5 * _HLL_M and n_empty > 0:
+            est = _HLL_M * math.log(_HLL_M / n_empty)
+        return pd.DataFrame({
+            "day": pd.Series([int(g["day"].iloc[0])], dtype="int64"),
+            "n_registers_used": pd.Series([n_used], dtype="int64"),
+            "sum_scaled": pd.Series([sum_scaled], dtype="int64"),
+            "est_millis": pd.Series([int(np.floor(est * 1000.0))], dtype="int64"),
+        })
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return _DAILY_HLL_SCHEMA.empty_table()
+        return batch.select(_DAILY_HLL_SCHEMA.names).cast(_DAILY_HLL_SCHEMA)
+
+    return (
+        regs.groupby("day")
+        .map_groups(estimate, batch_format="pandas")
+        .map_batches(stamp, batch_format="pyarrow")
+    )
+
+
+_DAILY_HLL_R_CTE = f"""
+WITH p AS (
+  SELECT DISTINCT epoch_us(ts) // {_DAY_US} AS day, user_id FROM events
+), h AS (
+  SELECT day,
+    ((user_id::HUGEINT * 11400714819323198485) % 18446744073709551616) AS h
+  FROM p
+), r AS (
+  SELECT day, (h % {_HLL_M})::BIGINT AS register,
+         ((h // {_HLL_M}) % 4294967296)::BIGINT AS v
+  FROM h
+), regs AS (
+  SELECT day, register,
+    max(CASE WHEN v = 0 THEN 33 ELSE 33 - length(bin(v)) END)::BIGINT AS max_rho
+  FROM r GROUP BY day, register
+)"""
+
+DAILY_HLL_REGISTERS_ORACLE_SQL = _DAILY_HLL_R_CTE + """
+SELECT day, register, max_rho FROM regs
+"""
+
+DAILY_HLL_ESTIMATE_ORACLE_SQL = _DAILY_HLL_R_CTE + f"""
+, agg AS (
+  SELECT day, count(*)::BIGINT AS n_used,
+    (sum((1::BIGINT << (33 - max_rho))) +
+     ({_HLL_M} - count(*))::BIGINT * 8589934592)::BIGINT AS sum_scaled
+  FROM regs GROUP BY day
+), raw AS (
+  SELECT day, n_used, sum_scaled,
+    (0.7213 / (1 + 1.079 / {_HLL_M})) * {_HLL_M} * {_HLL_M} * 8589934592.0
+      / sum_scaled AS est
+  FROM agg
+)
+SELECT day, n_used AS n_registers_used, sum_scaled,
+  floor((CASE WHEN est <= 2.5 * {_HLL_M} AND n_used < {_HLL_M}
+              THEN {_HLL_M} * ln({_HLL_M} / ({_HLL_M}.0 - n_used))
+              ELSE est END) * 1000.0)::BIGINT AS est_millis
+FROM raw
+"""
+
+
+# --------------------------------------------------------------------------- #
 # count-min sketch — the mergeable frequency sketch (complement of HLL's
 # cardinality sketch): bounded-size register table, per-token overestimates
 

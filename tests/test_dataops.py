@@ -60,6 +60,8 @@ SQL_QUERIES = [
     "doc_dup_spans",
     "events_funnel",
     "doc_bm25_topk",
+    "events_daily_hll_registers",
+    "events_daily_hll_estimate",
     "events_interval_join",
     "orders_bloom_registers",
     "lineitem_bloom_semijoin",
@@ -492,3 +494,24 @@ def test_bloom_prefilter_is_selective_and_exact(ray_session):
     # at 16-bit m / k=4 the FP rate is well under 1% at test scale
     non_match = row["n_probe"] - row["n_true_match"]
     assert row["n_false_pos"] <= max(1, non_match // 20)
+
+
+def test_daily_hll_estimate_accuracy(ray_session, con):
+    """Grouped sketch sanity: each day's HLL estimate must be within the
+    standard-error envelope (~3.25%·3 for m=1024) of the exact per-day
+    COUNT(DISTINCT user_id). Exactness vs the SQL re-derivation is
+    covered by test_dataops_vs_duckdb; this pins that the sketch is a
+    GOOD estimator, not just a reproducible one."""
+    from lingvo__postagger_ner_ru_dnn_ray.stages.dataops import (
+        events_daily_hll_estimate,
+    )
+
+    est = events_daily_hll_estimate(SF).to_pandas()
+    exact = con.execute(
+        "SELECT epoch_us(ts) // 86400000000 AS day, "
+        "count(DISTINCT user_id)::BIGINT AS n FROM events GROUP BY 1"
+    ).fetchdf()
+    m = est.merge(exact, on="day")
+    assert len(m) == len(est) > 0
+    rel = (m["est_millis"] / 1000.0 - m["n"]).abs() / m["n"]
+    assert rel.max() < 0.15, rel.describe()
