@@ -278,6 +278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_hll_estimate": d.doc_token_hll_estimate,
         "doc_token_cms_registers": d.doc_token_cms_registers,
         "doc_token_cms_estimate": d.doc_token_cms_estimate,
+        "doc_token_heavy_hitters": d.doc_token_heavy_hitters,
         "doc_tfidf_topk": d.doc_tfidf_topk,
         "doc_bm25_topk": d.doc_bm25_topk,
         "doc_rep_ngram_signals": d.doc_rep_ngram_signals,
@@ -304,6 +305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interval_join": _interval_q,
         "events_daily_hll_registers": d.events_daily_hll_registers,
         "events_daily_hll_estimate": d.events_daily_hll_estimate,
+        "events_props_extract": d.events_props_extract,
         # --- sampling / ranking / anti-join
         "doc_sample": d.doc_sample,
         "doc_sample_stratified": d.doc_sample_stratified,
@@ -314,6 +316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_rollup": d.lineitem_rollup,
         "orders_by_nation": d.orders_by_nation,
         "part_topk": d.part_topk,
+        "part_spelling_variants": d.part_spelling_variants,
         "supplier_stats": d.supplier_stats,
         "orders_by_month": d.orders_by_month,
         "region_nation_counts": d.region_nation_counts,
@@ -533,8 +536,11 @@ def _dataops_sql() -> dict[str, str]:
         "doc_token_hll_estimate": d.HLL_ESTIMATE_ORACLE_SQL,
         "events_daily_hll_registers": d.DAILY_HLL_REGISTERS_ORACLE_SQL,
         "events_daily_hll_estimate": d.DAILY_HLL_ESTIMATE_ORACLE_SQL,
+        "events_props_extract": d.PROPS_EXTRACT_ORACLE_SQL,
         "doc_token_cms_registers": d.CMS_REGISTERS_ORACLE_SQL,
         "doc_token_cms_estimate": d.CMS_ESTIMATE_ORACLE_SQL,
+        "doc_token_heavy_hitters": d.HEAVY_HITTERS_ORACLE_SQL,
+        "part_spelling_variants": d.SPELLING_VARIANTS_ORACLE_SQL,
         "doc_tfidf_topk": d.tfidf_oracle_sql(),
         "doc_bm25_topk": d.bm25_oracle_sql(),
         "doc_rep_ngram_signals": d.REP_NGRAM_ORACLE_SQL,

@@ -2692,6 +2692,51 @@ FROM raw
 
 
 # --------------------------------------------------------------------------- #
+# semi-structured extraction: parse a JSON-ish props column with Arrow's
+# vectorized RE2, then the standard partial-agg + tiny-groupby pattern.
+# The point at 100 TB: payload parsing stays a zero-shuffle Arrow kernel
+# (no per-row json.loads Python loop), and only (type, bucket) partial
+# rows enter the exchange.
+
+def events_props_extract(sf_dir: str) -> ray.data.Dataset:
+    """Extract the integer ``k`` field from the JSON ``props`` column and
+    aggregate (event_type, k//10 bucket) → (n_events, sum_k)."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch.column("props"), r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        t = pa.Table.from_arrays(
+            [batch.column("event_type"),
+             pc.divide(k, 10),  # integer floor division on int64
+             k],
+            names=["event_type", "k_bucket", "k"],
+        )
+        g = t.group_by(["event_type", "k_bucket"]).aggregate(
+            [([], "count_all"), ("k", "sum")]
+        )
+        return g.rename_columns(["event_type", "k_bucket", "n_events", "sum_k"])
+
+    return (
+        ev.map_batches(partials, batch_format="pyarrow")
+        .groupby(["event_type", "k_bucket"])
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("sum_k", alias_name="sum_k"))
+    )
+
+
+PROPS_EXTRACT_ORACLE_SQL = """
+SELECT event_type,
+       CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) // 10 AS k_bucket,
+       count(*)::BIGINT AS n_events,
+       sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT))::BIGINT AS sum_k
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------- #
 # GROUPED HLL — one sketch per group key, merged by (group, register).
 # Unlike the global doc_token_hll_* pair (driver reads the one 1024-row
 # register table), the grouped form never touches the driver at all: the
@@ -2948,6 +2993,116 @@ regs AS (
                     % 2147483647) % {_CMS_W}
 )
 SELECT token, freq, min(cnt)::BIGINT AS est FROM lk GROUP BY token, freq
+"""
+
+
+def _cms_grid(regs: pd.DataFrame) -> np.ndarray:
+    grid = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+    grid[regs["depth"].to_numpy(np.int64), regs["bucket"].to_numpy(np.int64)] = (
+        regs["cnt"].to_numpy(np.int64)
+    )
+    return grid
+
+
+def _cms_point_est(grid: np.ndarray, wh: np.ndarray) -> np.ndarray:
+    ests = np.full(len(wh), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(_CMS_D):
+        b = ((_CMS_A[d] * wh + _CMS_B[d]) % _MH_P % np.uint64(_CMS_W)).astype(np.int64)
+        ests = np.minimum(ests, grid[d, b])
+    return ests
+
+
+def doc_token_heavy_hitters(sf_dir: str) -> ray.data.Dataset:
+    """Sketch-guided EXACT heavy hitters: tokens whose count-min estimate
+    is ≥ 1% of the token stream, with their exact frequencies.
+
+    The 100-TB point: a full ``groupby(token)`` moves the whole
+    vocabulary through the exchange; here the (4×1024)-register sketch —
+    built distributed, pulled bounded, broadcast with ``ray.put`` — gates
+    the second pass INSIDE ``map_batches``, so only candidate tokens'
+    per-batch partial counts shuffle. CMS error is one-sided (est ≥
+    freq), so no true heavy hitter is ever dropped; the ``est`` column
+    records the bound that admitted each candidate (some may be
+    collision-inflated false positives — their exact freq exposes them).
+    Threshold = total_tokens // 100, derived from the sketch itself
+    (row-0 register sum), so both sides compute it identically."""
+    regs = doc_token_cms_registers(sf_dir).to_pandas()  # ≤ D·W rows
+    grid = _cms_grid(regs)
+    threshold = int(grid[0].sum()) // 100
+    grid_ref = ray.put(grid)
+
+    out_schema = pa.schema([("token", pa.string()), ("cnt", pa.int64())])
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        grid = ray.get(grid_ref)
+        toks = pc.list_flatten(pc.split_pattern(batch.column("text"), " "))
+        if len(toks) == 0:
+            return out_schema.empty_table()
+        vc = pa.Table.from_arrays([toks], names=["token"]).group_by(
+            ["token"]
+        ).aggregate([([], "count_all")])
+        words = vc.column("token").to_pylist()
+        wh = np.fromiter(
+            (_word_hash(w) for w in words), dtype=np.uint64, count=len(words)
+        ) % _MH_P
+        keep = _cms_point_est(grid, wh) >= threshold
+        return pa.Table.from_arrays(
+            [vc.column("token").filter(pa.array(keep)),
+             pc.cast(vc.column("count_all").filter(pa.array(keep)), pa.int64())],
+            schema=out_schema,
+        )
+
+    freq = (
+        _docs(sf_dir, ["text"])
+        .map_batches(candidates, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="freq"))
+    )
+
+    est_schema = pa.schema(
+        [("token", pa.string()), ("freq", pa.int64()), ("est", pa.int64())]
+    )
+
+    def attach_est(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return est_schema.empty_table()
+        grid = ray.get(grid_ref)
+        words = batch.column("token").to_pylist()
+        wh = np.fromiter(
+            (_word_hash(w) for w in words), dtype=np.uint64, count=len(words)
+        ) % _MH_P
+        return pa.Table.from_arrays(
+            [batch.column("token"), pc.cast(batch.column("freq"), pa.int64()),
+             pa.array(_cms_point_est(grid, wh))],
+            schema=est_schema,
+        )
+
+    return freq.map_batches(attach_est, batch_format="pyarrow")
+
+
+HEAVY_HITTERS_ORACLE_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), d(depth, a, b) AS (VALUES {_cms_hash_values_sql()}),
+regs AS (
+  SELECT d.depth,
+         ((d.a * (md5_number_upper(tok) % 2147483647)::BIGINT + d.b)
+          % 2147483647) % {_CMS_W} AS bucket,
+         count(*)::BIGINT AS cnt
+  FROM toks, d GROUP BY d.depth, bucket
+), thr AS (
+  SELECT sum(cnt) // 100 AS t FROM regs WHERE depth = 0
+), tf AS (
+  SELECT tok AS token, count(*)::BIGINT AS freq FROM toks GROUP BY tok
+), est AS (
+  SELECT tf.token, tf.freq, min(r.cnt)::BIGINT AS est
+  FROM tf, d
+  JOIN regs r ON r.depth = d.depth
+    AND r.bucket = ((d.a * (md5_number_upper(tf.token) % 2147483647)::BIGINT
+                     + d.b) % 2147483647) % {_CMS_W}
+  GROUP BY tf.token, tf.freq
+)
+SELECT token, freq, est FROM est, thr WHERE est >= thr.t
 """
 
 
@@ -3782,4 +3937,116 @@ UNION ALL
 SELECT 2::BIGINT, 'click', count(*)::BIGINT FROM c
 UNION ALL
 SELECT 3::BIGINT, 'purchase', count(*)::BIGINT FROM p
+"""
+
+
+# --------------------------------------------------------------------------- #
+# fuzzy string matching: edit-distance-1 vocabulary pairs via FastSS
+# deletion-index blocking — the entity-resolution / typo-clustering
+# primitive (catalog normalization, surface-form conflation for the KG
+# linker's NIL tail). The all-pairs levenshtein join is O(V²); the
+# deletion index is O(V·L) keys and only same-key buckets ever meet.
+
+def _ed1(a: str, b: str) -> bool:
+    """Exact edit-distance==1 check (two-pointer; candidates already
+    share a deletion key so lengths differ by ≤1)."""
+    la, lb = len(a), len(b)
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    if lb - la != 1:
+        return False
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def part_spelling_variants(sf_dir: str) -> ray.data.Dataset:
+    """Distinct part-name token pairs at edit distance exactly 1.
+
+    Blocking: each vocabulary token emits |token|+1 deletion keys
+    ({token} ∪ 1-deletions) — tokens at ED≤1 always share a key (FastSS),
+    tokens sharing one are at ED≤2, so each bucket pair is verified with
+    the exact two-pointer check. Keys route to salted partitions
+    (pd.util.hash_pandas_object — deterministic across processes); the
+    in-partition candidate join is one vectorized self-merge per key
+    group. A pair can surface under several keys in several partitions,
+    so a second salted pass dedups (tok_a, tok_b). Vocabulary extraction
+    itself is the usual per-batch-unique → tiny-groupby pattern, so the
+    per-token Python work is O(|vocab|·L), never O(corpus)."""
+    parts = ray.data.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+
+    def vocab_partials(batch: pa.Table) -> pa.Table:
+        toks = pc.unique(pc.list_flatten(pc.split_pattern(batch.column("p_name"), " ")))
+        return pa.Table.from_arrays([toks], names=["token"])
+
+    vocab = (
+        parts.map_batches(vocab_partials, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["token"])
+    )
+
+    def deletion_keys(batch: pa.Table) -> pa.Table:
+        keys, toks = [], []
+        for t in batch.column("token").to_pylist():
+            keys.append(t)
+            toks.append(t)
+            for i in range(len(t)):
+                keys.append(t[:i] + t[i + 1:])
+                toks.append(t)
+        df = pd.DataFrame({"key": keys, "token": toks})
+        h = pd.util.hash_pandas_object(df["key"], index=False).to_numpy()
+        df["salt"] = (h % _JOIN_SALTS).astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pair_schema = pa.schema(
+        [("tok_a", pa.string()), ("tok_b", pa.string()), ("salt2", pa.int64())]
+    )
+    out_schema = pa.schema([("tok_a", pa.string()), ("tok_b", pa.string())])
+
+    def bucket_pairs(g: pd.DataFrame) -> pa.Table:
+        # return schema'd Arrow directly: empty object-dtype pandas blocks
+        # both lose their schema and trip Ray's block-size estimator
+        m = g.merge(g, on="key")
+        m = m[m["token_x"] < m["token_y"]].drop_duplicates(["token_x", "token_y"])
+        if not m.empty:
+            keep = [_ed1(a, b) for a, b in zip(m["token_x"], m["token_y"])]
+            m = m[np.asarray(keep, dtype=bool)]
+        if m.empty:
+            return pair_schema.empty_table()
+        a, b = m["token_x"].astype(str), m["token_y"].astype(str)
+        h = pd.util.hash_pandas_object(a + "\x00" + b, index=False).to_numpy()
+        return pa.Table.from_arrays(
+            [pa.array(a.to_numpy(dtype=object)), pa.array(b.to_numpy(dtype=object)),
+             pa.array((h % _JOIN_SALTS).astype("int64"))],
+            schema=pair_schema,
+        )
+
+    def distinct(g: pd.DataFrame) -> pa.Table:
+        out = g.drop_duplicates(["tok_a", "tok_b"])
+        return pa.Table.from_arrays(
+            [pa.array(out["tok_a"].to_numpy(dtype=object)),
+             pa.array(out["tok_b"].to_numpy(dtype=object))],
+            schema=out_schema,
+        )
+
+    return (
+        vocab.map_batches(deletion_keys, batch_format="pyarrow")
+        .groupby("salt")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby("salt2")
+        .map_groups(distinct, batch_format="pandas")
+    )
+
+
+SPELLING_VARIANTS_ORACLE_SQL = """
+WITH v AS (
+  SELECT DISTINCT unnest(string_split(p_name, ' ')) AS tok FROM part
+)
+SELECT a.tok AS tok_a, b.tok AS tok_b
+FROM v a, v b
+WHERE a.tok < b.tok AND levenshtein(a.tok, b.tok) = 1
 """

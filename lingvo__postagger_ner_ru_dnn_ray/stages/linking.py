@@ -49,6 +49,20 @@ def put_linking_dict() -> "ray.ObjectRef":
     return ray.put(build_linking_dict())
 
 
+def build_deletion_index(lookup: dict) -> dict[str, tuple[str, ...]]:
+    """FastSS deletion index over the dictionary's normalized surface
+    forms: key = surface or any 1-deletion of it → sorted candidate
+    surfaces. O(|dict|·L) keys, built ONCE per actor (the dictionary is
+    already broadcast); same blocking structure as
+    dataops.part_spelling_variants."""
+    tmp: dict[str, set[str]] = {}
+    for sf in lookup:
+        keys = {sf} | {sf[:i] + sf[i + 1:] for i in range(len(sf))}
+        for v in keys:
+            tmp.setdefault(v, set()).add(sf)
+    return {k: tuple(sorted(v)) for k, v in tmp.items()}
+
+
 class LinkerStage:
     """Adds ``<col>_id`` / ``<col>_canon`` for each configured surface column.
 
@@ -56,12 +70,26 @@ class LinkerStage:
     [...]}`` so every actor fetches the broadcast dictionary once.
     """
 
-    def __init__(self, dict_ref=None, columns=("subj", "obj")):
+    def __init__(self, dict_ref=None, columns=("subj", "obj"), fuzzy=False):
         if dict_ref is None:
             self.lookup = build_linking_dict()
         else:
             self.lookup = ray.get(dict_ref)
         self.columns = columns
+        # opt-in ED≤1 fallback for the NIL tail (typo'd mentions):
+        # default OFF so exact-linking parity with the sequential oracle
+        # is untouched; the deletion index is per-actor one-time state
+        self.del_idx = build_deletion_index(self.lookup) if fuzzy else None
+
+    def _fuzzy_hit(self, m: str):
+        from .dataops import _ed1
+
+        idx = self.del_idx
+        cands: set[str] = set()
+        for key in {m} | {m[:i] + m[i + 1:] for i in range(len(m))}:
+            cands.update(idx.get(key, ()))
+        best = min((sf for sf in cands if sf != m and _ed1(m, sf)), default=None)
+        return self.lookup[best] if best is not None else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lookup = self.lookup
@@ -70,10 +98,13 @@ class LinkerStage:
             ids: list[str] = []
             canons: list[str] = []
             for s in surfaces:
-                hit = lookup.get(normalize_surface(s))
+                norm = normalize_surface(s)
+                hit = lookup.get(norm)
+                if hit is None and self.del_idx is not None:
+                    hit = self._fuzzy_hit(norm)
                 if hit is None:
                     ids.append(NIL)
-                    canons.append(normalize_surface(s))
+                    canons.append(norm)
                 else:
                     ids.append(hit[0])
                     canons.append(hit[1])

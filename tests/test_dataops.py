@@ -62,6 +62,9 @@ SQL_QUERIES = [
     "doc_bm25_topk",
     "events_daily_hll_registers",
     "events_daily_hll_estimate",
+    "events_props_extract",
+    "doc_token_heavy_hitters",
+    "part_spelling_variants",
     "events_interval_join",
     "orders_bloom_registers",
     "lineitem_bloom_semijoin",

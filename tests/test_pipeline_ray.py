@@ -309,3 +309,34 @@ def test_kg_incremental_merge(ray_session, tmp_path):
         got["part"] = got["part"].astype("int64")
         want["part"] = want["part"].astype("int64")
         assert _sorted_df(got, keys).equals(_sorted_df(want, keys)), t
+
+
+def test_linker_fuzzy_fallback(ray_session):
+    """Opt-in ED<=1 linking: a typo'd known surface form links through the
+    per-actor FastSS deletion index; exact mode (the default, which the
+    kg oracles pin) still NILs it. Selection is deterministic (lexico-
+    graphically smallest verified surface)."""
+    import pyarrow as pa
+
+    from lingvo__postagger_ner_ru_dnn_ray.stages.linking import (
+        NIL,
+        LinkerStage,
+        build_linking_dict,
+    )
+
+    lookup = build_linking_dict()
+    sf = next(s for s in sorted(lookup) if len(s) >= 5 and " " not in s)
+    typo = sf[:2] + sf[3:]
+    assert typo not in lookup
+    batch = pa.table({"subj": [typo], "obj": [sf]})
+
+    exact = LinkerStage()(batch)
+    assert exact.column("subj_id")[0].as_py() == NIL
+    assert exact.column("obj_id")[0].as_py() == lookup[sf][0]
+
+    fz = LinkerStage(fuzzy=True)(batch)
+    got = fz.column("subj_id")[0].as_py()
+    assert got != NIL
+    assert fz.column("obj_id")[0].as_py() == lookup[sf][0]  # exact path intact
+    # deterministic across instances
+    assert LinkerStage(fuzzy=True)(batch).column("subj_id")[0].as_py() == got
