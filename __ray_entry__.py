@@ -306,6 +306,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_hll_registers": d.events_daily_hll_registers,
         "events_daily_hll_estimate": d.events_daily_hll_estimate,
         "events_props_extract": d.events_props_extract,
+        "events_percent_rank": d.events_percent_rank,
+        "events_type_pivot": d.events_type_pivot,
         # --- sampling / ranking / anti-join
         "doc_sample": d.doc_sample,
         "doc_sample_stratified": d.doc_sample_stratified,
@@ -537,6 +539,8 @@ def _dataops_sql() -> dict[str, str]:
         "events_daily_hll_registers": d.DAILY_HLL_REGISTERS_ORACLE_SQL,
         "events_daily_hll_estimate": d.DAILY_HLL_ESTIMATE_ORACLE_SQL,
         "events_props_extract": d.PROPS_EXTRACT_ORACLE_SQL,
+        "events_percent_rank": d.PERCENT_RANK_ORACLE_SQL,
+        "events_type_pivot": d.pivot_oracle_sql(),
         "doc_token_cms_registers": d.CMS_REGISTERS_ORACLE_SQL,
         "doc_token_cms_estimate": d.CMS_ESTIMATE_ORACLE_SQL,
         "doc_token_heavy_hitters": d.HEAVY_HITTERS_ORACLE_SQL,

@@ -2235,6 +2235,118 @@ def events_value_quantiles(sf_dir: str) -> ray.data.Dataset:
     return hist.groupby("event_type").map_groups(quantiles, batch_format="pandas")
 
 
+def events_percent_rank(sf_dir: str) -> ray.data.Dataset:
+    """percent_rank() over every event row WITHOUT a global sort — the
+    window-function emulation at scale: the same bounded value histogram
+    events_value_quantiles builds becomes a broadcast (value → min-rank)
+    table, and ranking is then a zero-shuffle per-batch merge. Driver
+    pull is O(distinct (type, cents)) — price-like columns have bounded
+    level sets, never O(rows). Integer-exact: pr_micro =
+    (rank−1)·10⁶ // (n−1), ties share the min rank (SQL rank())."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_arrays(
+            [batch.column("event_type"), _cents(batch.column("value"))],
+            names=["event_type", "cents"],
+        )
+        g = t.group_by(["event_type", "cents"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "cents", "n"])
+
+    hist = (
+        ev.map_batches(partials, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # O(distinct (type, cents)) rows — see docstring
+        .sort_values(["event_type", "cents"])
+        .reset_index(drop=True)
+    )
+    cum = hist.groupby("event_type")["n"].cumsum() - hist["n"]
+    tot = hist.groupby("event_type")["n"].transform("sum")
+    lut = pd.DataFrame({
+        "event_type": hist["event_type"], "cents": hist["cents"],
+        "rank": (cum + 1).astype("int64"), "n_tot": tot.astype("int64"),
+    })
+    lut_ref = ray.put(lut)
+
+    out_schema = pa.schema(
+        [("event_id", pa.int64()), ("event_type", pa.string()),
+         ("cents", pa.int64()), ("pr_micro", pa.int64())]
+    )
+
+    def rank_batch(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        df = pd.DataFrame({
+            "event_id": np.asarray(batch.column("event_id"), dtype=np.int64),
+            "event_type": batch.column("event_type").to_pylist(),
+            "cents": np.asarray(_cents(batch.column("value")), dtype=np.int64),
+        })
+        m = df.merge(lut, on=["event_type", "cents"], how="left")
+        denom = np.maximum(m["n_tot"].to_numpy(np.int64) - 1, 1)
+        pr = (m["rank"].to_numpy(np.int64) - 1) * 1_000_000 // denom
+        return pa.Table.from_arrays(
+            [pa.array(m["event_id"].to_numpy(np.int64)),
+             pa.array(m["event_type"].to_numpy(dtype=object)),
+             pa.array(m["cents"].to_numpy(np.int64)), pa.array(pr)],
+            schema=out_schema,
+        )
+
+    return ev.map_batches(rank_batch, batch_format="pyarrow")
+
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_type_pivot(sf_dir: str) -> ray.data.Dataset:
+    """Pivot the event log wide: one row per user, one count column per
+    event type (fixed column set — schemas are static in a distributed
+    pipeline). Conditional partial sums inside the batch, then one
+    groupby over ≤|users| partial rows; no per-type passes."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    cols = [f"n_{t}" for t in _PIVOT_TYPES]
+
+    def partials(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        arrays = [batch.column("user_id")]
+        for t in _PIVOT_TYPES:
+            arrays.append(pc.cast(pc.equal(et, t), pa.int64()))
+        arrays.append(pa.array(np.ones(batch.num_rows, dtype=np.int64)))
+        t = pa.Table.from_arrays(arrays, names=["user_id"] + cols + ["n_total"])
+        return t.group_by(["user_id"]).aggregate(
+            [(c, "sum") for c in cols + ["n_total"]]
+        ).rename_columns(["user_id"] + cols + ["n_total"])
+
+    return (
+        ev.map_batches(partials, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*[Sum(c, alias_name=c) for c in cols + ["n_total"]])
+    )
+
+
+def pivot_oracle_sql() -> str:
+    sums = ", ".join(
+        f"sum((event_type = '{t}')::BIGINT)::BIGINT AS n_{t}" for t in _PIVOT_TYPES
+    )
+    return (
+        f"SELECT user_id, {sums}, count(*)::BIGINT AS n_total "
+        "FROM events GROUP BY user_id"
+    )
+
+
+PERCENT_RANK_ORACLE_SQL = """
+SELECT event_id, event_type, cents,
+  ((rank() OVER (PARTITION BY event_type ORDER BY cents) - 1) * 1000000
+   // greatest(count(*) OVER (PARTITION BY event_type) - 1, 1))::BIGINT
+    AS pr_micro
+FROM (SELECT event_id, event_type,
+             cast(round(value*100) AS BIGINT) AS cents FROM events)
+"""
+
+
 # --------------------------------------------------------------------------- #
 # char-n-gram LM perplexity — CCNet/KenLM-style quality filtering
 

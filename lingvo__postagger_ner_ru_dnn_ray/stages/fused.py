@@ -50,6 +50,14 @@ class KgStage:
         self.tagger = TaggerStage(artifact_dir=artifact_dir)
         self.linker = LinkerStage(dict_ref=dict_ref, columns=("subj", "obj"))
         self.itp = _resolve(input_type_processor)
+        # per-worker turn memo: the whole chain is a pure function of the
+        # turn TEXT (conv/turn are only output keys), and real transcript
+        # streams are duplicate-heavy ("ok", "thanks" — the bench fixture
+        # alone repeats 29% of turns), so identical turns replay cached
+        # rows instead of re-running tokenizer FSM + two DNNs. Bounded +
+        # self-clearing like the dataops hash memos; deterministic, so
+        # resume/retry replay is unaffected.
+        self._turn_memo: dict[str, list[tuple]] = {}
 
     def call_modular(self, batch: pa.Table) -> pa.Table:
         """The stage-by-stage composition — the reference implementation
@@ -61,19 +69,16 @@ class KgStage:
         triples = triples_batch(tagged)
         return self.linker(triples)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        conv = batch.column("conv_id").to_pylist()
-        turn = batch.column("turn_idx").to_pylist()
-        text = batch.column("text").to_pylist()
-
-        # tokenize every turn; keep Python Word lists (no Arrow round-trip)
+    def _compute_rows(self, todo: list[str]) -> list[list[tuple]]:
+        """Run the full chain for each unique text; returns per-text rows
+        (sent_idx, triple_idx, *triple_fields, subj_id, subj_canon,
+        obj_id, obj_canon). Sentences of ALL texts still tag in one
+        predict_batch call (batched inference is preserved)."""
         sent_meta: list[tuple] = []
         sent_words: list[list] = []
-        for c, t, x in zip(conv, turn, text):
-            if not x:
-                continue
+        for xi, x in enumerate(todo):
             for si, words in enumerate(tokenize_text(x, input_type_processor=self.itp)):
-                sent_meta.append((c, t, si))
+                sent_meta.append((xi, si))
                 sent_words.append(words)
 
         mt = _model_token_cached
@@ -82,9 +87,9 @@ class KgStage:
         pos_raw = self.tagger.pos_model.predict_batch(pos_in)
         ner_raw = self.tagger.ner_model.predict_batch(ner_in)
 
-        cols: dict[str, list] = {n: [] for n in _OUT_NAMES}
         lookup = self.linker.lookup
-        for (c, t, si), words, praw, nraw in zip(sent_meta, sent_words, pos_raw, ner_raw):
+        rows: list[list[tuple]] = [[] for _ in todo]
+        for (xi, si), words, praw, nraw in zip(sent_meta, sent_words, pos_raw, ner_raw):
             input_types = [w.input_type for w in words]
             extras = [w.extra for w in words]
             pos = _correct_pos(input_types, extras, praw)
@@ -95,21 +100,43 @@ class KgStage:
             for ti, tup in enumerate(
                 extract_sentence_triples(vals, starts, lens, pos, ner)
             ):
+                link: list[str] = []
+                for side_surface in (tup[0], tup[3]):
+                    hit = lookup.get(normalize_surface(side_surface))
+                    if hit is None:
+                        link += [NIL, normalize_surface(side_surface)]
+                    else:
+                        link += [hit[0], hit[1]]
+                rows[xi].append((si, ti) + tuple(tup) + tuple(link))
+        return rows
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        conv = batch.column("conv_id").to_pylist()
+        turn = batch.column("turn_idx").to_pylist()
+        text = batch.column("text").to_pylist()
+
+        memo = self._turn_memo
+        todo = list({x for x in text if x and x not in memo})
+        if todo:
+            if len(memo) + len(todo) > (1 << 18):
+                memo.clear()
+            for x, rows in zip(todo, self._compute_rows(todo)):
+                memo[x] = rows
+
+        payload_names = list(TRIPLE_SCHEMA.names[4:]) + [
+            "subj_id", "subj_canon", "obj_id", "obj_canon"
+        ]
+        cols: dict[str, list] = {n: [] for n in _OUT_NAMES}
+        for c, t, x in zip(conv, turn, text):
+            if not x:
+                continue
+            for row in memo[x]:
                 cols["conv_id"].append(c)
                 cols["turn_idx"].append(t)
-                cols["sent_idx"].append(si)
-                cols["triple_idx"].append(ti)
-                for name, v in zip(TRIPLE_SCHEMA.names[4:], tup):
+                cols["sent_idx"].append(row[0])
+                cols["triple_idx"].append(row[1])
+                for name, v in zip(payload_names, row[2:]):
                     cols[name].append(v)
-                for side in ("subj", "obj"):
-                    surface = tup[0] if side == "subj" else tup[3]
-                    hit = lookup.get(normalize_surface(surface))
-                    if hit is None:
-                        cols[f"{side}_id"].append(NIL)
-                        cols[f"{side}_canon"].append(normalize_surface(surface))
-                    else:
-                        cols[f"{side}_id"].append(hit[0])
-                        cols[f"{side}_canon"].append(hit[1])
         return pa.Table.from_arrays(
             [pa.array(cols[f.name], f.type) for f in _OUT_SCHEMA], schema=_OUT_SCHEMA
         )

@@ -63,6 +63,8 @@ SQL_QUERIES = [
     "events_daily_hll_registers",
     "events_daily_hll_estimate",
     "events_props_extract",
+    "events_percent_rank",
+    "events_type_pivot",
     "doc_token_heavy_hitters",
     "part_spelling_variants",
     "events_interval_join",
