@@ -67,6 +67,44 @@ def test_batched_equals_single():
     assert batched == single
 
 
+def test_predict_batch_padding_invariant():
+    """A sentence's labels must not depend on batch composition: alone,
+    padded next to a 200-token straggler (flat-pad worst case), duplicated,
+    or memo-warm — all identical. This pins the dedup+bucketing fast path
+    (tagger.py predict_batch/_forward_unique) to the flat-padded semantics:
+    masked keys underflow to exactly 0.0 in the attention softmax."""
+    pos, _ = taggers()
+    vocab_toks = list(pos_token_label())
+    short = vocab_toks[:5] + ["_unk_pad_x"]
+    long = (vocab_toks * 40)[:200]
+
+    alone = pos.predict_batch([short])[0]
+    pos._label_memo.clear()
+    with_straggler = pos.predict_batch([long, short, short])
+    assert with_straggler[1] == alone and with_straggler[2] == alone
+    # memo-warm replay (same worker, later batch)
+    assert pos.predict_batch([short])[0] == alone
+    # forced memo clear mid-stream changes nothing
+    pos._label_memo.clear()
+    assert pos.predict_batch([short, long])[0] == alone
+
+
+def test_predict_batch_memo_bounded():
+    pos, _ = taggers()
+    pos._label_memo.clear()
+    old_cap = pos._MEMO_CAP
+    try:
+        type(pos).__dict__  # keep attribute on instance, not class
+        pos.__dict__["_MEMO_CAP"] = 8
+        for i in range(40):
+            pos.predict_batch([[f"_m{i}_{j}" for j in range(3)]])
+        assert len(pos._label_memo) <= 8
+    finally:
+        pos.__dict__.pop("_MEMO_CAP", None)
+        assert pos._MEMO_CAP == old_cap
+        pos._label_memo.clear()
+
+
 def test_entity_dictionary_shape():
     rows = entity_dictionary()
     ids = [r["entity_id"] for r in rows]
