@@ -308,6 +308,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_extract": d.events_props_extract,
         "events_percent_rank": d.events_percent_rank,
         "events_type_pivot": d.events_type_pivot,
+        "events_user_rolling": d.events_user_rolling,
+        "events_retention_cohorts": d.events_retention_cohorts,
+        "events_user_type_set": d.events_user_type_set,
+        "doc_posting_lists": d.doc_posting_lists,
         # --- sampling / ranking / anti-join
         "doc_sample": d.doc_sample,
         "doc_sample_stratified": d.doc_sample_stratified,
@@ -541,6 +545,10 @@ def _dataops_sql() -> dict[str, str]:
         "events_props_extract": d.PROPS_EXTRACT_ORACLE_SQL,
         "events_percent_rank": d.PERCENT_RANK_ORACLE_SQL,
         "events_type_pivot": d.pivot_oracle_sql(),
+        "events_user_rolling": d.ROLLING_ORACLE_SQL,
+        "events_retention_cohorts": d.RETENTION_ORACLE_SQL,
+        "events_user_type_set": d.TYPE_SET_ORACLE_SQL,
+        "doc_posting_lists": d.POSTING_LISTS_ORACLE_SQL,
         "doc_token_cms_registers": d.CMS_REGISTERS_ORACLE_SQL,
         "doc_token_cms_estimate": d.CMS_ESTIMATE_ORACLE_SQL,
         "doc_token_heavy_hitters": d.HEAVY_HITTERS_ORACLE_SQL,

@@ -4162,3 +4162,334 @@ SELECT a.tok AS tok_a, b.tok AS tok_b
 FROM v a, v b
 WHERE a.tok < b.tok AND levenshtein(a.tok, b.tok) = 1
 """
+
+
+# --------------------------------------------------------------------------- #
+# per-user ROWS-window rolling aggregate — bounded-lookback window emulation
+# at scale (the missing piece next to events_percent_rank's unbounded rank)
+
+_ROLL_K = 3  # window = current row + (K-1) preceding rows per user
+
+
+def events_user_rolling(sf_dir: str) -> ray.data.Dataset:
+    """sum(cents)/count over the last 3 events per user (SQL ``ROWS BETWEEN
+    2 PRECEDING AND CURRENT ROW`` ordered by (ts, event_id)) — NO per-user
+    global sort: a user's history is split into day buckets processed in
+    hash partitions (exactly events_sessions' skew strategy, a hot bot
+    never pins a worker), the within-bucket window is two vectorized
+    shifts, and only the first K-1 rows of each (user, bucket) cell —
+    whose window reaches into the previous cell — go through a second
+    bounded pass. That fix-up pass sees ≤ 2·(K-1) rows per cell (cell
+    heads + cell tails) regardless of event volume, and the collected
+    subsequence contains every head's true K-1 predecessors with nothing
+    spurious between (heads of a cell are preceded in collection order by
+    their own cell's earlier heads, then the previous cell's tails — the
+    same rows that precede them in the full stream)."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    k = _ROLL_K
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(batch.column("ts"), pa.int64())
+        bucket = pc.divide(ts_us, _SESSION_BUCKET_US)
+        salt = _user_hash_salt(np.asarray(batch.column("user_id")), np.asarray(bucket))
+        return pa.Table.from_arrays(
+            [batch.column("event_id"), batch.column("user_id"), batch.column("ts"),
+             _cents(batch.column("value")), bucket, pa.array(salt)],
+            names=["event_id", "user_id", "ts", "cents", "bucket", "salt"],
+        )
+
+    done_schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()),
+         ("cents", pa.int64()), ("roll_sum_cents", pa.int64()),
+         ("roll_n", pa.int64())]
+    )
+    fix_schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()),
+         ("ts", pa.timestamp("us")), ("cents", pa.int64()),
+         ("bucket", pa.int64()), ("is_head", pa.bool_()), ("salt2", pa.int64())]
+    )
+
+    def _roll(g: pd.DataFrame, cell_cols: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized K-row rolling sum/count across every cell of the
+        sorted frame; cells delimited by ``cell_cols``."""
+        c = g["cents"].to_numpy(np.int64)
+        pos = g.groupby(list(cell_cols), sort=False).cumcount().to_numpy()
+        s = c.copy()
+        n = np.ones(len(g), dtype=np.int64)
+        for j in range(1, k):
+            in_win = pos >= j
+            s[j:] += np.where(in_win[j:], c[:-j], 0)
+            n[j:] += in_win[j:].astype(np.int64)
+        return s, n
+
+    def bucket_roll(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "bucket", "ts", "event_id"]).reset_index(drop=True)
+        s, n = _roll(g, ["user_id", "bucket"])
+        pos = g.groupby(["user_id", "bucket"], sort=False).cumcount().to_numpy()
+        size = g.groupby(["user_id", "bucket"], sort=False)["cents"].transform("size").to_numpy()
+        head = pos < (k - 1)
+        tail = pos >= size - (k - 1)
+        done = g[~head]
+        done_t = pa.Table.from_arrays(
+            [pa.array(done["event_id"].to_numpy(np.int64)),
+             pa.array(done["user_id"].to_numpy(np.int64)),
+             pa.array(done["cents"].to_numpy(np.int64)),
+             pa.array(s[~head]), pa.array(n[~head])],
+            schema=done_schema,
+        )
+        fx = g[head | tail].copy()
+        fx_mask = (head | tail)
+        fx["is_head"] = head[fx_mask]
+        salt2 = _user_hash_salt(fx["user_id"].to_numpy())
+        fix_t = pa.Table.from_arrays(
+            [pa.array(fx["event_id"].to_numpy(np.int64)),
+             pa.array(fx["user_id"].to_numpy(np.int64)),
+             pa.array(fx["ts"].to_numpy("datetime64[us]")),
+             pa.array(fx["cents"].to_numpy(np.int64)),
+             pa.array(fx["bucket"].to_numpy(np.int64)),
+             pa.array(fx["is_head"].to_numpy(bool)), pa.array(salt2)],
+            schema=fix_schema,
+        )
+        return done_t, fix_t
+
+    def bucket_roll_done(g: pd.DataFrame) -> pa.Table:
+        if g.empty:
+            return done_schema.empty_table()
+        return bucket_roll(g)[0]
+
+    def bucket_roll_fix(g: pd.DataFrame) -> pa.Table:
+        if g.empty:
+            return fix_schema.empty_table()
+        return bucket_roll(g)[1]
+
+    def head_fix(g: pd.DataFrame) -> pa.Table:
+        if g.empty:
+            return done_schema.empty_table()
+        g = g.sort_values(["user_id", "bucket", "ts", "event_id"]).reset_index(drop=True)
+        s, n = _roll(g, ["user_id"])
+        h = g["is_head"].to_numpy(bool)
+        out = g[h]
+        return pa.Table.from_arrays(
+            [pa.array(out["event_id"].to_numpy(np.int64)),
+             pa.array(out["user_id"].to_numpy(np.int64)),
+             pa.array(out["cents"].to_numpy(np.int64)),
+             pa.array(s[h]), pa.array(n[h])],
+            schema=done_schema,
+        )
+
+    base = ev.map_batches(add_bucket, batch_format="pyarrow")
+    # the two phase-1 outputs share the same grouped scan; running the
+    # grouping twice keeps each output a clean single-schema Dataset
+    # (Ray map_groups emits one table per group) at the cost of one extra
+    # pass over the raw events — both passes are block-streaming.
+    done_ds = base.groupby("salt").map_groups(bucket_roll_done, batch_format="pandas")
+    fix_ds = (
+        base.groupby("salt").map_groups(bucket_roll_fix, batch_format="pandas")
+        .groupby("salt2").map_groups(head_fix, batch_format="pandas")
+    )
+    return done_ds.union(fix_ds)
+
+
+ROLLING_ORACLE_SQL = """
+SELECT event_id, user_id, cents,
+  sum(cents) OVER w::BIGINT AS roll_sum_cents,
+  count(*)  OVER w::BIGINT AS roll_n
+FROM (SELECT event_id, user_id, ts,
+             cast(round(value*100) AS BIGINT) AS cents FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --------------------------------------------------------------------------- #
+# retention cohorts: first-touch day × day-offset distinct-user matrix
+
+def events_retention_cohorts(sf_dir: str) -> ray.data.Dataset:
+    """Classic cohort retention: users grouped by first-event day, counted
+    on each later active day. Scale shape: per-batch distinct (user, day)
+    partials bound every exchange by users × days (never event volume);
+    the cohort assignment runs INSIDE user-hash partitions (a user's full
+    day set co-locates, so first-day needs no second shuffle or broadcast
+    of a per-user table), emitting per-partition (cohort_day, offset)
+    partial counts into one tiny final groupby."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def day_partials(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        t = pa.Table.from_arrays(
+            [batch.column("user_id"), day], names=["user_id", "day"]
+        )
+        g = t.group_by(["user_id", "day"]).aggregate([([], "count_all")])
+        users = np.asarray(g.column("user_id"))
+        return pa.Table.from_arrays(
+            [g.column("user_id"), g.column("day"), pa.array(_user_hash_salt(users))],
+            names=["user_id", "day", "salt"],
+        )
+
+    part_schema = pa.schema(
+        [("cohort_day", pa.timestamp("us")), ("day_offset", pa.int64()),
+         ("n_users", pa.int64())]
+    )
+
+    def cohort_counts(g: pd.DataFrame) -> pa.Table:
+        if g.empty:
+            return part_schema.empty_table()
+        g = g.drop_duplicates(["user_id", "day"])
+        day_us = g["day"].astype("datetime64[us]").astype("int64")
+        first = day_us.groupby(g["user_id"], sort=False).transform("min")
+        off = (day_us - first) // (24 * 3600 * 1_000_000)
+        out = (
+            pd.DataFrame({"cohort_us": first, "day_offset": off})
+            .groupby(["cohort_us", "day_offset"], sort=False).size().reset_index(name="n_users")
+        )
+        return pa.Table.from_arrays(
+            [pa.array(out["cohort_us"].to_numpy("datetime64[us]")),
+             pa.array(out["day_offset"].to_numpy(np.int64)),
+             pa.array(out["n_users"].to_numpy(np.int64))],
+            schema=part_schema,
+        )
+
+    return (
+        ev.map_batches(day_partials, batch_format="pyarrow")
+        .groupby("salt").map_groups(cohort_counts, batch_format="pandas")
+        .groupby(["cohort_day", "day_offset"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+
+RETENTION_ORACLE_SQL = """
+WITH a AS (SELECT DISTINCT user_id, date_trunc('day', ts)::TIMESTAMP AS d FROM events),
+f AS (SELECT user_id, min(d) AS fd FROM a GROUP BY user_id)
+SELECT f.fd AS cohort_day, date_diff('day', f.fd, a.d)::BIGINT AS day_offset,
+       count(*)::BIGINT AS n_users
+FROM a JOIN f USING (user_id) GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------- #
+# grouped distinct-set aggregation (collect_set analogue, deterministic)
+
+def events_user_type_set(sf_dir: str) -> ray.data.Dataset:
+    """Per user: count + sorted '|'-join of DISTINCT event types. The
+    collect_set-shaped aggregate: per-batch distinct pairs bound the
+    shuffle by users × |type alphabet|, assembly runs inside user-hash
+    partitions. Output is deterministic (sorted join) so it value-hashes."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["user_id", "event_type"]).aggregate([([], "count_all")])
+        users = np.asarray(g.column("user_id"))
+        return pa.Table.from_arrays(
+            [g.column("user_id"), g.column("event_type"),
+             pa.array(_user_hash_salt(users))],
+            names=["user_id", "event_type", "salt"],
+        )
+
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("n_types", pa.int64()), ("type_set", pa.string())]
+    )
+
+    def assemble(g: pd.DataFrame) -> pa.Table:
+        if g.empty:
+            return out_schema.empty_table()
+        g = g.drop_duplicates(["user_id", "event_type"]).sort_values(
+            ["user_id", "event_type"]
+        )
+        out = g.groupby("user_id", sort=False)["event_type"].agg(["size", "|".join])
+        out.columns = ["n_types", "type_set"]
+        out = out.reset_index()
+        return pa.Table.from_arrays(
+            [pa.array(out["user_id"].to_numpy(np.int64)),
+             pa.array(out["n_types"].to_numpy(np.int64)),
+             pa.array(out["type_set"].to_numpy(dtype=object))],
+            schema=out_schema,
+        )
+
+    return (
+        ev.map_batches(pair_partials, batch_format="pyarrow")
+        .groupby("salt").map_groups(assemble, batch_format="pandas")
+    )
+
+
+TYPE_SET_ORACLE_SQL = """
+SELECT user_id, count(DISTINCT event_type)::BIGINT AS n_types,
+       string_agg(DISTINCT event_type, '|' ORDER BY event_type) AS type_set
+FROM events GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------- #
+# sharded inverted-index build (search-engine posting lists)
+
+_POSTING_SHARDS = 4
+
+
+def doc_posting_lists(sf_dir: str) -> ray.data.Dataset:
+    """Materialize a term → sorted-doc-id posting-list index, SHARDED by
+    hash(doc) so a stopword's postings never concentrate on one reducer —
+    the way web-scale indexes bound per-key list size (a term's global
+    list is the shard-ordered concatenation). Per-batch distinct
+    (term, doc) partials; assembly in (term, shard) hash partitions."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def term_doc(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        idx = pc.list_parent_indices(toks)
+        flat = pc.list_flatten(toks)
+        doc = pc.take(batch.column("doc_id"), idx)
+        t = pa.Table.from_arrays([flat, doc], names=["token", "doc_id"])
+        g = t.group_by(["token", "doc_id"]).aggregate([([], "count_all")])
+        df = pd.DataFrame({
+            "token": g.column("token").to_pylist(),
+            "doc_id": np.asarray(g.column("doc_id"), dtype=np.int64),
+        })
+        df["shard"] = df["doc_id"] % _POSTING_SHARDS
+        h = pd.util.hash_pandas_object(
+            df["token"] + "\x00" + df["shard"].astype(str), index=False
+        ).to_numpy()
+        df["salt"] = (h % _JOIN_SALTS).astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out_schema = pa.schema(
+        [("token", pa.string()), ("shard", pa.int64()), ("df", pa.int64()),
+         ("postings", pa.string())]
+    )
+
+    def assemble(g: pd.DataFrame) -> pa.Table:
+        if g.empty:
+            return out_schema.empty_table()
+        g = g.drop_duplicates(["token", "shard", "doc_id"]).sort_values(
+            ["token", "shard", "doc_id"]
+        )
+        g["doc_str"] = g["doc_id"].astype(str)
+        out = g.groupby(["token", "shard"], sort=False)["doc_str"].agg(
+            ["size", "|".join]
+        )
+        out.columns = ["df", "postings"]
+        out = out.reset_index()
+        return pa.Table.from_arrays(
+            [pa.array(out["token"].to_numpy(dtype=object)),
+             pa.array(out["shard"].to_numpy(np.int64)),
+             pa.array(out["df"].to_numpy(np.int64)),
+             pa.array(out["postings"].to_numpy(dtype=object))],
+            schema=out_schema,
+        )
+
+    return (
+        docs.map_batches(term_doc, batch_format="pyarrow")
+        .groupby("salt").map_groups(assemble, batch_format="pandas")
+    )
+
+
+POSTING_LISTS_ORACLE_SQL = f"""
+WITH td AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+)
+SELECT token, doc_id % {_POSTING_SHARDS} AS shard, count(*)::BIGINT AS df,
+       string_agg(doc_id::VARCHAR, '|' ORDER BY doc_id) AS postings
+FROM td GROUP BY 1, 2
+"""

@@ -71,6 +71,10 @@ SQL_QUERIES = [
     "orders_bloom_registers",
     "lineitem_bloom_semijoin",
     "lineitem_bloom_fp_stats",
+    "events_user_rolling",
+    "events_retention_cohorts",
+    "events_user_type_set",
+    "doc_posting_lists",
 ]
 
 
@@ -520,3 +524,63 @@ def test_daily_hll_estimate_accuracy(ray_session, con):
     assert len(m) == len(est) > 0
     rel = (m["est_millis"] / 1000.0 - m["n"]).abs() / m["n"]
     assert rel.max() < 0.15, rel.describe()
+
+
+def test_rolling_window_bucket_boundaries(ray_session, tmp_path):
+    """events_user_rolling's two-phase plan: windows that reach across day
+    buckets (including across EMPTY gap days), single-row cells (a row that
+    is both cell head and cell tail), users with fewer than K total events,
+    duplicate timestamps broken by event_id, and a hot cell spanning many
+    tiny blocks — all must match the SQL window oracle exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = 1_700_000_000_000_000
+    day = 86_400_000_000
+    rows = []  # (event_id, user_id, ts_us, value)
+    eid = 0
+    # user 0: dense day 0 (3000 events incl. duplicate timestamps), then
+    # 2 events on day 2 (gap day 1), 1 on day 5, 1 on day 7
+    for i in range(3000):
+        rows.append((eid, 0, base + (i // 2) * 10_000_000, float(i % 97)))
+        eid += 1
+    for i in range(2):
+        rows.append((eid, 0, base + 2 * day + i * 1_000_000, 7.5))
+        eid += 1
+    rows.append((eid, 0, base + 5 * day, 1.25)); eid += 1
+    rows.append((eid, 0, base + 7 * day, 2.5)); eid += 1
+    # user 1: a single event ever (window n=1)
+    rows.append((eid, 1, base + day, 3.0)); eid += 1
+    # user 2: two events on far-apart days (window n=2 crossing a gap)
+    rows.append((eid, 2, base, 4.0)); eid += 1
+    rows.append((eid, 2, base + 4 * day, 5.0)); eid += 1
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[2] for r in rows], dtype=np.int64), pa.timestamp("us")),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+
+    from ray.data import DataContext
+
+    from lingvo__postagger_ner_ru_dnn_ray.stages.dataops import events_user_rolling
+
+    ctx = DataContext.get_current()
+    prev = ctx.target_max_block_size
+    ctx.target_max_block_size = 16 * 1024
+    try:
+        got = events_user_rolling(str(tmp_path)).to_pandas()
+    finally:
+        ctx.target_max_block_size = prev
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    import __ray_entry__ as e
+
+    want = con.execute(e._dataops_sql()["events_user_rolling"]).fetchdf()
+    g, w = _canon(got), _canon(want)
+    assert len(g) == len(w), f"{len(g)} rows vs oracle {len(w)}"
+    assert g.equals(w)
