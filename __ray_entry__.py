@@ -215,6 +215,19 @@ def _emb_ann_ivf_recall(sf_dir: str):
     return emb_ann_ivf_recall(sf_dir, ivf_path=_ivf_dir(sf_dir))
 
 
+def _pq_dir(sf_dir: str) -> str:
+    """Deterministic materialization path for the PQ/ADC result at this
+    scale (shared by the emb_pq_recall query and its SQL oracle)."""
+    tag = Path(sf_dir).name
+    return f"/tmp/graft_data/pq_{tag}_{_code_fingerprint()}"
+
+
+def _emb_pq_recall(sf_dir: str):
+    from lingvo__postagger_ner_ru_dnn_ray.stages.dataops import emb_pq_recall
+
+    return emb_pq_recall(sf_dir, pq_path=_pq_dir(sf_dir))
+
+
 def _interval_q(sf_dir: str):
     from lingvo__postagger_ner_ru_dnn_ray.stages.intervals import (
         events_interval_join,
@@ -288,6 +301,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_ann_topk": d.emb_ann_topk,
         "emb_ann_ivf": d.emb_ann_ivf,
         "emb_ann_ivf_recall": _emb_ann_ivf_recall,
+        "emb_pq_topk": d.emb_pq_topk,
+        "emb_pq_recall": _emb_pq_recall,
         "emb_neardup_pairs": d.emb_neardup_pairs,
         "emb_neardup_lsh": d.emb_neardup_lsh,
         # --- multimodal plumbing (stub codec; rows-only check)
@@ -601,6 +616,14 @@ def oracle_sql() -> dict[str, str]:
     ivf_path = _ivf_dir(sf)
     emb_ann_ivf_recall(sf, ivf_path=ivf_path).count()  # materialize once
     sql["emb_ann_ivf_recall"] = ann_ivf_recall_oracle_sql(ivf_path)
+    from lingvo__postagger_ner_ru_dnn_ray.stages.dataops import (
+        emb_pq_recall,
+        pq_recall_oracle_sql,
+    )
+
+    pq_path = _pq_dir(sf)
+    emb_pq_recall(sf, pq_path=pq_path).count()  # materialize once
+    sql["emb_pq_recall"] = pq_recall_oracle_sql(pq_path)
     from lingvo__postagger_ner_ru_dnn_ray.stages.multimodal import (
         ensure_media_parquet,
         media_features_oracle_sql,

@@ -4493,3 +4493,217 @@ SELECT token, doc_id % {_POSTING_SHARDS} AS shard, count(*)::BIGINT AS df,
        string_agg(doc_id::VARCHAR, '|' ORDER BY doc_id) AS postings
 FROM td GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------- #
+# product-quantization ANN — the compressed-scan scale path next to IVF
+
+_PQ_M = 8        # subspaces (dim 64 -> 8 floats each)
+_PQ_KSUB = 16    # codes per subspace -> 8 bytes/vector, 32x vs float64
+
+
+def _pq_codebooks_distributed(
+    emb: ray.data.Dataset, m: int = _PQ_M, ksub: int = _PQ_KSUB, iters: int = 3
+) -> np.ndarray:
+    """Distributed PQ codebook training: k-means in each of the ``m``
+    subspaces, ALL subspaces in one streaming pass per iteration (partials
+    keyed (subspace, cluster)); the driver pull per iteration is m·ksub
+    rows — bounded by the codebook, never the data. Same deterministic
+    float-sum discipline as _ivf_centroids_distributed (partials carry the
+    batch's min vec_id; the combine sums in that order). Vectors are
+    L2-normalized before splitting so codes approximate cosine via ADC."""
+    head = emb.filter(expr=f"vec_id < {ksub}").to_pandas()
+    X = np.stack(head.sort_values("vec_id")["embedding"].to_numpy()).astype(np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    dim = X.shape[1]
+    dsub = dim // m
+    cb = X.reshape(ksub, m, dsub).transpose(1, 0, 2).copy()  # [m, ksub, dsub]
+
+    for _ in range(iters):
+        ref = ray.put(cb)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            cb = ray.get(ref)
+            m, ksub, dsub = cb.shape
+            M_ = np.stack(batch.column("embedding").to_pandas().to_numpy()).astype(np.float64)
+            Mn = M_ / np.linalg.norm(M_, axis=1, keepdims=True)
+            S = Mn.reshape(len(Mn), m, dsub)
+            pk = int(np.asarray(batch.column("vec_id")).min())
+            sub_l, cl_l, n_l, sum_l = [], [], [], []
+            for mi in range(m):
+                d2 = ((S[:, mi, None, :] - cb[mi][None, :, :]) ** 2).sum(-1)
+                assign = d2.argmin(1)
+                sums = np.zeros((ksub, dsub))
+                np.add.at(sums, assign, S[:, mi, :])
+                counts = np.bincount(assign, minlength=ksub).astype(np.int64)
+                sub_l.extend([mi] * ksub)
+                cl_l.extend(range(ksub))
+                n_l.extend(counts.tolist())
+                sum_l.extend(r.tolist() for r in sums)
+            return pa.Table.from_arrays(
+                [pa.array(sub_l, pa.int64()), pa.array(cl_l, pa.int64()),
+                 pa.array(n_l, pa.int64()), pa.array(sum_l, pa.list_(pa.float64())),
+                 pa.array([pk] * (m * ksub), pa.int64())],
+                names=["sub", "cluster", "n", "vec_sum", "part_key"],
+            )
+
+        def combine(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values("part_key")
+            s = np.sum(np.stack(g["vec_sum"].to_numpy()), axis=0)
+            return pd.DataFrame({
+                "sub": pd.Series([int(g["sub"].iloc[0])], dtype="int64"),
+                "cluster": pd.Series([int(g["cluster"].iloc[0])], dtype="int64"),
+                "n": pd.Series([int(g["n"].sum())], dtype="int64"),
+                "vec_sum": pd.Series([s.tolist()], dtype="object"),
+            })
+
+        agg = (
+            emb.map_batches(partials, batch_format="pyarrow")
+            .groupby(["sub", "cluster"])
+            .map_groups(combine, batch_format="pandas")
+            .to_pandas()  # m*ksub rows — bounded
+        )
+        newcb = cb.copy()
+        for _, row in agg.iterrows():
+            if row["n"] > 0:
+                newcb[int(row["sub"]), int(row["cluster"])] = (
+                    np.asarray(row["vec_sum"], dtype=np.float64) / row["n"]
+                )
+        cb = newcb
+    return cb
+
+
+_PQ_RERANK = 32  # ADC shortlist size per (query, batch) before exact rerank
+
+
+def emb_pq_topk(sf_dir: str) -> ray.data.Dataset:
+    """PQ/ADC top-k with exact rerank: corpus vectors are encoded to _PQ_M
+    uint8 codes; each query precomputes a (m × ksub) dot-product table
+    against the broadcast codebooks, and ADC-scoring a vector is m table
+    lookups + a sum — the scan touches 8 bytes per vector instead of 512,
+    which is what makes a 100 TB embedding table scannable. The ADC pass
+    only SHORTLISTS (_PQ_RERANK per query per batch); exact cosine is
+    computed for shortlisted vectors only (the production ADC-then-rerank
+    pattern — at scale the rerank fetches full vectors by id; here they
+    are in the batch already). Encode + scan fuse into ONE map_batches
+    (codes never materialize); approximate (the true neighbor can miss
+    the shortlist), recall-checked by emb_pq_recall against the exact SQL
+    baseline."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cb = _pq_codebooks_distributed(emb)
+
+    qdf = emb.filter(expr=f"vec_id < {_ANN_N_QUERIES}").to_pandas()
+    Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qids = qdf["vec_id"].to_numpy()
+    m, ksub, dsub = cb.shape
+    # ADC tables: T[q, mi, code] = q_sub(mi) · codebook[mi, code]
+    T = np.einsum("qmd,mkd->qmk", Qn.reshape(len(Qn), m, dsub), cb)
+    ref = ray.put((qids, Qn, T, cb))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qids, Qn, T, cb = ray.get(ref)
+        m, ksub, dsub = cb.shape
+        vids = np.asarray(batch.column("vec_id"))
+        keep = vids >= _ANN_N_QUERIES
+        q_out, n_out, s_out = [], [], []
+        if keep.any():
+            M_ = np.stack(batch.column("embedding").to_pandas().to_numpy()[keep]).astype(np.float64)
+            Mn = M_ / np.linalg.norm(M_, axis=1, keepdims=True)
+            S = Mn.reshape(len(Mn), m, dsub)
+            codes = np.empty((len(Mn), m), dtype=np.int64)
+            for mi in range(m):
+                d2 = ((S[:, mi, None, :] - cb[mi][None, :, :]) ** 2).sum(-1)
+                codes[:, mi] = d2.argmin(1)
+            vkeep = vids[keep]
+            for qi in range(len(qids)):
+                # sum of m table lookups, fixed subspace order -> the
+                # approx sim is batch-composition independent
+                sims = np.zeros(len(Mn))
+                for mi in range(m):
+                    sims += T[qi, mi, codes[:, mi]]
+                r = min(_PQ_RERANK, len(vkeep))
+                short = np.argsort(-sims, kind="stable")[:r]
+                exact = Qn[qi] @ Mn[short].T
+                k = min(_ANN_K, r)
+                idx = short[np.argsort(-exact, kind="stable")[:k]]
+                for j in idx:
+                    q_out.append(int(qids[qi]))
+                    n_out.append(int(vkeep[j]))
+                    s_out.append(float(Qn[qi] @ Mn[j]))
+        return pa.Table.from_arrays(
+            [pa.array(q_out, pa.int64()), pa.array(n_out, pa.int64()),
+             pa.array(s_out, pa.float64())],
+            names=["query_id", "neighbor_id", "sim"],
+        )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(_ANN_K)
+        g = g.reset_index(drop=True)
+        return pd.DataFrame(
+            {"query_id": g["query_id"], "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+             "neighbor_id": g["neighbor_id"]}
+        )
+
+    cand = emb.map_batches(partial_topk, batch_format="pyarrow")
+    return cand.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+def emb_pq_recall(sf_dir: str, pq_path: str | None = None) -> ray.data.Dataset:
+    """Recall@k of the PQ/ADC path vs the exact top-k — same materialize-
+    then-independent-SQL-baseline construction as emb_ann_ivf_recall."""
+    pq_ds = emb_pq_topk(sf_dir)
+    if pq_path is not None:
+        import os
+        import shutil
+
+        if not os.path.exists(f"{pq_path}/_SUCCESS"):
+            shutil.rmtree(pq_path, ignore_errors=True)
+            pq_ds.write_parquet(pq_path)
+            open(f"{pq_path}/_SUCCESS", "w").close()
+        pq_ds = ray.data.read_parquet(pq_path, columns=["query_id", "rank", "neighbor_id"])
+
+    def tag(src: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [pc.cast(batch.column("query_id"), pa.int64()),
+                 pc.cast(batch.column("neighbor_id"), pa.int64()),
+                 pa.array([src] * batch.num_rows, pa.int8())],
+                names=["query_id", "neighbor_id", "src"],
+            )
+
+        return fn
+
+    both = pq_ds.map_batches(tag(0), batch_format="pyarrow").union(
+        emb_ann_topk(sf_dir).map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def hits(g: pd.DataFrame) -> pd.DataFrame:
+        a = set(g.loc[g["src"] == 0, "neighbor_id"])
+        b = set(g.loc[g["src"] == 1, "neighbor_id"])
+        return pd.DataFrame(
+            {"query_id": [int(g["query_id"].iloc[0])],
+             "n_hits": pd.Series([len(a & b)], dtype="int64"),
+             "k": pd.Series([_ANN_K], dtype="int64")}
+        )
+
+    return both.groupby("query_id").map_groups(hits, batch_format="pandas")
+
+
+def pq_recall_oracle_sql(pq_path: str) -> str:
+    return f"""
+WITH exact AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rnk
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < {_ANN_N_QUERIES} AND c.vec_id >= {_ANN_N_QUERIES}
+  QUALIFY rnk <= {_ANN_K}
+), pq AS (
+  SELECT query_id, neighbor_id FROM read_parquet('{pq_path}/*.parquet')
+)
+SELECT e.query_id, count(p.neighbor_id)::BIGINT AS n_hits, {_ANN_K}::BIGINT AS k
+FROM exact e LEFT JOIN pq p
+  ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
+GROUP BY e.query_id
+"""

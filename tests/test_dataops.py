@@ -584,3 +584,45 @@ def test_rolling_window_bucket_boundaries(ray_session, tmp_path):
     g, w = _canon(got), _canon(want)
     assert len(g) == len(w), f"{len(g)} rows vs oracle {len(w)}"
     assert g.equals(w)
+
+
+def test_pq_recall_vs_bruteforce(ray_session):
+    """ADC-shortlist + exact-rerank PQ: high recall (1.0 at test scales;
+    bar 0.8 — the shortlist CAN miss), deterministic, and subset-valid
+    sims (every emitted sim equals the exact cosine, because the rerank
+    is exact)."""
+    from lingvo__postagger_ner_ru_dnn_ray.stages.dataops import (
+        emb_ann_topk,
+        emb_pq_topk,
+    )
+
+    exact = emb_ann_topk(SF).to_pandas()
+    approx = emb_pq_topk(SF).to_pandas()
+    e = set(zip(exact["query_id"], exact["neighbor_id"]))
+    a = set(zip(approx["query_id"], approx["neighbor_id"]))
+    assert len(e & a) / len(e) >= 0.8
+    again = emb_pq_topk(SF).to_pandas()
+    assert approx.sort_values(["query_id", "rank"]).reset_index(drop=True).equals(
+        again.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+
+
+def test_pq_codebook_driver_pull_bounded(ray_session, monkeypatch):
+    """PQ training pulls only codebook-sized frames to the driver (ksub
+    init rows; m*ksub combine rows per iteration) — never the table."""
+    import ray.data
+
+    from lingvo__postagger_ner_ru_dnn_ray.stages import dataops as d
+
+    orig = ray.data.Dataset.to_pandas
+    cap = max(d._PQ_M * d._PQ_KSUB, d._ANN_N_QUERIES)
+
+    def capped(self, *a, **k):
+        df = orig(self, *a, **k)
+        assert len(df) <= cap, f"driver pulled {len(df)} rows (cap {cap})"
+        return df
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", capped)
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cb = d._pq_codebooks_distributed(emb)
+    assert cb.shape == (d._PQ_M, d._PQ_KSUB, 64 // d._PQ_M)
