@@ -225,6 +225,11 @@ def main() -> None:
 
         timed("lineitem_bloom_semijoin", bloom.lineitem_bloom_semijoin)
         timed("events_interval_join", intervals.events_interval_join)
+        timed("events_user_rolling", dataops.events_user_rolling)
+        timed("events_retention_cohorts", dataops.events_retention_cohorts)
+        timed("events_user_type_set", dataops.events_user_type_set)
+        timed("doc_posting_lists", dataops.doc_posting_lists)
+        timed("emb_pq_topk", dataops.emb_pq_topk)
 
     print(json.dumps({
         "metric": "kg_e2e_sec",
