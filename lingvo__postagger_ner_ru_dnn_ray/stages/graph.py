@@ -45,6 +45,18 @@ _EMPTY_EDGES = pd.DataFrame(
 )
 
 
+def _bounded_parts(ds: ray.data.Dataset, target_bytes: int = 64 << 20) -> int:
+    """Iteration width from DATA SIZE, not inherited block count: an
+    iterative loop that re-sorts whatever block count the upstream stage
+    happened to produce pays per-block scheduling overhead × iterations
+    (measured: 185 s for a 2,203-edge CC at sf0.1 because the LSH stage
+    emitted 64 near-empty blocks). One ~64 MB block per partition keeps a
+    tiny graph in 1-2 blocks and a 10^9-edge graph at hundreds — the same
+    knob either way."""
+    nbytes = ds.size_bytes() or 0
+    return int(nbytes // target_bytes) + 1
+
+
 def _restamp(schema: pa.Schema):
     """Re-stamp pandas map_groups output as schema'd Arrow so unions see
     one block type (empty pandas blocks otherwise lose their schema and
@@ -96,6 +108,57 @@ def _tag_labels(batch: pa.Table) -> pa.Table:
     )
 
 
+def _contract_edges(edges_d: ray.data.Dataset, passes: int = 3) -> ray.data.Dataset:
+    """CC pre-contraction (hash-to-min flavored): per hash(src) partition,
+    union-find the edges PRESENT in the partition and emit node→root
+    stars (root = component-local min) in both directions. Every original
+    edge (a,b) is unioned in whichever partition its directed copy lands,
+    so global connectivity is preserved pass over pass while chains
+    collapse toward their minima. Partition edge counts are block-bounded
+    (the partition count comes from _bounded_parts upstream), so the
+    in-partition union-find never sees more than a block of edges."""
+
+    def contract(g: pd.DataFrame) -> pa.Table:
+        e = g[g["kind"] == 1]
+        if e.empty:
+            return _ROW_SCHEMA.empty_table()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(e["k"].to_numpy(dtype=np.int64), e["val"].to_numpy(dtype=np.int64)):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                # min wins -> roots are monotone decreasing across passes
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        node = np.fromiter(parent.keys(), dtype=np.int64, count=len(parent))
+        root = np.array([find(int(n)) for n in node], dtype=np.int64)
+        sel = node != root
+        node, root = node[sel], root[sel]
+        src = np.concatenate([node, root])
+        dst = np.concatenate([root, node])
+        return pa.Table.from_arrays(
+            [pa.array(src), pa.array(_key_salt(src)),
+             pa.array(np.ones(len(src), dtype=np.int8)), pa.array(dst)],
+            names=_ROW_SCHEMA.names,
+        )
+
+    for _ in range(passes):
+        edges_d = (
+            edges_d.groupby("salt")
+            .map_groups(contract, batch_format="pandas")
+            .map_batches(_restamp(_ROW_SCHEMA), batch_format="pyarrow")
+        )
+    return edges_d
+
+
 def connected_components(
     edges: ray.data.Dataset, max_iters: int = 64
 ) -> ray.data.Dataset:
@@ -127,8 +190,17 @@ def connected_components(
             names=_ROW_SCHEMA.names,
         )
 
-    # directed both ways; re-read every iteration, so materialize once
+    # directed both ways; re-read every iteration, so materialize once —
+    # and coalesce to byte-sized blocks so each iteration's shuffles move
+    # as many blocks as the DATA needs, not as many as upstream produced
     edges_d = edges.map_batches(to_directed, batch_format="pyarrow").materialize()
+    edges_d = edges_d.repartition(_bounded_parts(edges_d)).materialize()
+    # pre-contraction: each pass union-finds the edges inside each hash
+    # partition and replaces them with node→root stars — same components,
+    # sharply smaller diameter, so the convergence-checked loop below
+    # finishes in a handful of rounds instead of O(diameter). Measured at
+    # sf0.1: 21 loop rounds (~3 s of fixed shuffle overhead each) → 3.
+    edges_d = _contract_edges(edges_d).materialize()
 
     def init_labels(g: pd.DataFrame) -> pd.DataFrame:
         u = np.unique(g["k"].to_numpy(dtype=np.int64))
@@ -205,9 +277,9 @@ def connected_components(
     # blocks grow ~3× per iteration through the unions (labels ∪ edges ∪
     # proposals); without a bound the block count — and with it the
     # materialize cost — explodes exponentially across iterations.
-    # Repartitioning the labels back to a fixed width each round keeps
-    # every iteration O(E) work over a bounded block set.
-    parts = max(8, edges_d.num_blocks())
+    # Repartitioning the labels back to a fixed byte-sized width each
+    # round keeps every iteration O(E) work over a bounded block set.
+    parts = _bounded_parts(edges_d)
 
     for _ in range(max_iters):
         tagged = labels.map_batches(_tag_labels, batch_format="pyarrow")
@@ -408,6 +480,7 @@ def pagerank(edges: ray.data.Dataset, iters: int = _PR_ITERS) -> ray.data.Datase
         .map_batches(_restamp(_PR_ROW), batch_format="pyarrow")
         .materialize()
     )
+    edge_aug = edge_aug.repartition(_bounded_parts(edge_aug)).materialize()
 
     def count_nodes(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -489,7 +562,7 @@ def pagerank(edges: ray.data.Dataset, iters: int = _PR_ITERS) -> ray.data.Datase
     # bound the block count across the lazy iteration chain (each union
     # adds the edge blocks; without the repartition the final DAG sorts an
     # O(iters × E-blocks) block set)
-    pr_parts = max(8, edge_aug.num_blocks())
+    pr_parts = _bounded_parts(edge_aug)
 
     for _ in range(iters):
         proposed = (
