@@ -63,6 +63,32 @@ def node_partials(batch: pa.Table) -> pa.Table:
 
 _N_SALTS = 512  # final-combine hash partitions (≈16× cluster cores)
 
+# Below this (in-memory) partial-stream size the final combine skips the
+# salted sort exchange entirely: partial rows are already one-per-key-per-
+# batch, every aggregate here is associative+commutative (int sum, string
+# min), so a repartition(1) + one vectorized groupby task is exact — and
+# removes a whole all-to-all barrier whose fixed latency (~8-15 s per
+# stage at 32 CPUs) dominated the KG job's tail at bench scale. Above the
+# threshold the salted exchange is the scale path, unchanged.
+_SMALL_COMBINE_BYTES = 256 << 20
+
+
+def _single_task_agg(
+    partial: Dataset, keys: list[str], sums: list[str], mins: list[str]
+) -> Dataset:
+    import pandas as pd
+
+    agg_spec = {c: "sum" for c in sums} | {c: "min" for c in mins}
+    out_cols = keys + sums + mins
+
+    def final(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.groupby(keys, as_index=False).agg(agg_spec)
+        return out[out_cols]
+
+    return partial.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None
+    )
+
 
 def _salted_final_agg(
     partial: Dataset, keys: list[str], sums: list[str], mins: list[str]
@@ -98,23 +124,36 @@ def _salted_final_agg(
     )
 
 
-def conflate_edges(triples: Dataset, extra_keys: list[str] | None = None) -> Dataset:
+def conflate_edges(
+    triples: Dataset,
+    extra_keys: list[str] | None = None,
+    size_hint_bytes: int | None = None,
+) -> Dataset:
+    """``size_hint_bytes``: estimated in-memory size of the INPUT stream
+    (e.g. from the written triples Parquet metadata). Small inputs take
+    the barrier-free single-task combine; unknown/large sizes take the
+    salted exchange."""
     keys = (extra_keys or []) + EDGE_KEYS
     partial = triples.map_batches(
         edge_partials, batch_format="pyarrow", fn_kwargs={"extra_keys": extra_keys}
     )
-    return _salted_final_agg(
-        partial, keys,
-        sums=["weight"],
-        mins=["subj_type", "obj_type", "subj_canon", "obj_canon"],
-    )
+    sums, mins = ["weight"], ["subj_type", "obj_type", "subj_canon", "obj_canon"]
+    if size_hint_bytes is not None and size_hint_bytes <= _SMALL_COMBINE_BYTES:
+        return _single_task_agg(partial, keys, sums, mins)
+    return _salted_final_agg(partial, keys, sums=sums, mins=mins)
 
 
-def nodes_from_edges(edges: Dataset, extra_keys: list[str] | None = None) -> Dataset:
+def nodes_from_edges(
+    edges: Dataset,
+    extra_keys: list[str] | None = None,
+    size_hint_bytes: int | None = None,
+) -> Dataset:
     """Node table derived from the already-aggregated edge table: each
     triple contributed exactly 1 to its subject and object, so the
     per-endpoint sum of edge weights equals ``conflate_nodes`` over the
-    raw triples — at a fraction of the input size."""
+    raw triples — at a fraction of the input size. ``size_hint_bytes``
+    as in conflate_edges (the edge table is aggregated, so it is small
+    whenever the entity catalog is)."""
     keys = (extra_keys or []) + ["entity_id"]
 
     def partials(batch: pa.Table) -> pa.Table:
@@ -139,6 +178,10 @@ def nodes_from_edges(edges: Dataset, extra_keys: list[str] | None = None) -> Dat
         return g.rename_columns(keys + ["canonical", "type", "n_mentions"])
 
     partial = edges.map_batches(partials, batch_format="pyarrow")
+    if size_hint_bytes is not None and size_hint_bytes <= _SMALL_COMBINE_BYTES:
+        return _single_task_agg(
+            partial, keys, sums=["n_mentions"], mins=["canonical", "type"]
+        )
     return partial.groupby(keys).aggregate(
         Sum("n_mentions", alias_name="n_mentions"),
         Min("canonical", alias_name="canonical"),
