@@ -327,6 +327,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention_cohorts": d.events_retention_cohorts,
         "events_user_type_set": d.events_user_type_set,
         "doc_posting_lists": d.doc_posting_lists,
+        "doc_bpe_pair_counts": d.doc_bpe_pair_counts,
+        "doc_table_checksum": d.doc_table_checksum,
+        "orders_upsert_merge": d.orders_upsert_merge,
         # --- sampling / ranking / anti-join
         "doc_sample": d.doc_sample,
         "doc_sample_stratified": d.doc_sample_stratified,
@@ -564,6 +567,9 @@ def _dataops_sql() -> dict[str, str]:
         "events_retention_cohorts": d.RETENTION_ORACLE_SQL,
         "events_user_type_set": d.TYPE_SET_ORACLE_SQL,
         "doc_posting_lists": d.POSTING_LISTS_ORACLE_SQL,
+        "doc_bpe_pair_counts": d.BPE_PAIR_ORACLE_SQL,
+        "doc_table_checksum": d.TABLE_CHECKSUM_ORACLE_SQL,
+        "orders_upsert_merge": d.UPSERT_ORACLE_SQL,
         "doc_token_cms_registers": d.CMS_REGISTERS_ORACLE_SQL,
         "doc_token_cms_estimate": d.CMS_ESTIMATE_ORACLE_SQL,
         "doc_token_heavy_hitters": d.HEAVY_HITTERS_ORACLE_SQL,

@@ -4707,3 +4707,178 @@ FROM exact e LEFT JOIN pq p
   ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
 GROUP BY e.query_id
 """
+
+
+# --------------------------------------------------------------------------- #
+# BPE-style pair statistics — the tokenizer-training primitive (one merge
+# round = argmax over these counts; the reference's vocab build is the
+# same count-then-truncate shape, Corpus/CorpusBatch.cs:98-149)
+
+_BPE_TOP_K = 50
+
+
+def doc_bpe_pair_counts(sf_dir: str) -> ray.data.Dataset:
+    """Corpus-weighted character-bigram counts (the statistic one BPE merge
+    step maximizes), top-_BPE_TOP_K. Pair counts are additive over token
+    OCCURRENCES, so each batch dedupes its tokens with one Arrow group_by
+    and explodes bigrams only once per distinct token (vocab-bounded
+    Python; counts ride along) — partial (pair, cnt) rows, one tiny final
+    groupby, top-k sort on O(distinct pairs)."""
+    docs = _docs(sf_dir, ["text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(batch.column("text"), " "))
+        g = pa.Table.from_arrays([toks], names=["tok"]).group_by(["tok"]).aggregate(
+            [([], "count_all")]
+        )
+        pair_cnt: dict[str, int] = {}
+        for tok, n in zip(g.column("tok").to_pylist(), g.column("count_all").to_pylist()):
+            for i in range(len(tok) - 1):
+                p = tok[i : i + 2]
+                pair_cnt[p] = pair_cnt.get(p, 0) + n
+        return pa.Table.from_arrays(
+            [pa.array(list(pair_cnt.keys()), pa.string()),
+             pa.array(list(pair_cnt.values()), pa.int64())],
+            names=["pair", "cnt"],
+        )
+
+    out = (
+        docs.map_batches(partials, batch_format="pyarrow")
+        .groupby("pair").aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    return out.sort(["cnt", "pair"], descending=[True, False]).limit(_BPE_TOP_K)
+
+
+BPE_PAIR_ORACLE_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), tf AS (
+  SELECT tok, count(*)::BIGINT AS n FROM toks WHERE length(tok) >= 2 GROUP BY tok
+), pairs AS (
+  SELECT substring(tok, i, 2) AS pair, sum(n)::BIGINT AS cnt
+  FROM tf, unnest(generate_series(1, length(tok) - 1)) AS t(i)
+  GROUP BY 1
+)
+SELECT pair, cnt FROM pairs ORDER BY cnt DESC, pair LIMIT {_BPE_TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------- #
+# order-independent table checksum — replica/migration validation at scale
+
+_CHECKSUM_MOD = (1 << 61) - 1
+
+
+def doc_table_checksum(sf_dir: str) -> ray.data.Dataset:
+    """One-row (n_rows, checksum) fingerprint of the documents table:
+    checksum = Σ md5_u64(doc_id ⊕ text) mod 2⁶¹−1. Addition is commutative
+    so the result is independent of block order/partitioning — the
+    cross-system validation primitive for a 100 TB copy (compare one row,
+    not the data). Partials are one row per batch; the final fold is a
+    single bounded task (modular sums commute with the per-row mod)."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        s = 0
+        for i, t in zip(ids, texts):
+            s += _md5_u64(f"{i}\x00{t}")
+        return pa.Table.from_arrays(
+            [pa.array([batch.num_rows], pa.int64()),
+             pa.array([s % _CHECKSUM_MOD], pa.int64())],
+            names=["n_rows", "part_sum"],
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_rows": pd.Series([int(g["n_rows"].sum())], dtype="int64"),
+            "checksum": pd.Series(
+                [int(g["part_sum"].astype(object).sum() % _CHECKSUM_MOD)], dtype="int64"
+            ),
+        })
+
+    return (
+        docs.map_batches(partials, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(fold, batch_format="pandas", batch_size=None)
+    )
+
+
+TABLE_CHECKSUM_ORACLE_SQL = f"""
+SELECT count(*)::BIGINT AS n_rows,
+       (sum(md5_number_upper(doc_id::VARCHAR || chr(0) || text)::HUGEINT)
+        % {_CHECKSUM_MOD})::BIGINT AS checksum
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------- #
+# last-writer-wins upsert merge — CDC / incremental-maintenance primitive
+
+def orders_upsert_merge(sf_dir: str) -> ray.data.Dataset:
+    """Apply a delta (updates for every o_orderkey % 7 == 0, synthesized
+    deterministically from the same table — no external data) onto the
+    base orders table, last-writer-wins by version. The merge is the
+    engine's salted co-partitioned pattern: tag + union both sides, hash
+    partition by key, one vectorized keep-max per partition. Never
+    re-sorts the base table globally; delta size governs the work."""
+    cols = ["o_orderkey", "o_orderstatus"]
+    base = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=cols)
+
+    def tag_base(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch.column("o_orderkey"), dtype=np.int64)
+        return pa.Table.from_arrays(
+            [batch.column("o_orderkey"), batch.column("o_orderstatus"),
+             pa.array(np.ones(len(keys), dtype=np.int64)),
+             pa.array(_key_salt(keys))],
+            names=["o_orderkey", "o_orderstatus", "version", "salt"],
+        )
+
+    def tag_delta(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch.column("o_orderkey"), dtype=np.int64)
+        sel = keys % 7 == 0
+        keys = keys[sel]
+        return pa.Table.from_arrays(
+            [pa.array(keys), pa.array(np.full(len(keys), "X", dtype=object)),
+             pa.array(np.full(len(keys), 2, dtype=np.int64)),
+             pa.array(_key_salt(keys))],
+            names=["o_orderkey", "o_orderstatus", "version", "salt"],
+        )
+
+    out_schema = pa.schema(
+        [("o_orderkey", pa.int64()), ("o_orderstatus", pa.string()),
+         ("version", pa.int64())]
+    )
+
+    def lww(g: pd.DataFrame) -> pa.Table:
+        if g.empty:
+            return out_schema.empty_table()
+        g = g.sort_values(["o_orderkey", "version"]).drop_duplicates(
+            ["o_orderkey"], keep="last"
+        )
+        return pa.Table.from_arrays(
+            [pa.array(g["o_orderkey"].to_numpy(np.int64)),
+             pa.array(g["o_orderstatus"].to_numpy(dtype=object)),
+             pa.array(g["version"].to_numpy(np.int64))],
+            schema=out_schema,
+        )
+
+    both = base.map_batches(tag_base, batch_format="pyarrow").union(
+        base.map_batches(tag_delta, batch_format="pyarrow")
+    )
+    return both.groupby("salt").map_groups(lww, batch_format="pandas")
+
+
+UPSERT_ORACLE_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, 1::BIGINT AS version FROM orders
+), delta AS (
+  SELECT o_orderkey, 'X' AS o_orderstatus, 2::BIGINT AS version
+  FROM orders WHERE o_orderkey % 7 = 0
+), u AS (
+  SELECT * FROM base UNION ALL SELECT * FROM delta
+)
+SELECT o_orderkey, o_orderstatus, version FROM u
+QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) = 1
+"""

@@ -75,6 +75,9 @@ SQL_QUERIES = [
     "events_retention_cohorts",
     "events_user_type_set",
     "doc_posting_lists",
+    "doc_bpe_pair_counts",
+    "doc_table_checksum",
+    "orders_upsert_merge",
 ]
 
 
@@ -626,3 +629,23 @@ def test_pq_codebook_driver_pull_bounded(ray_session, monkeypatch):
     emb = ray.data.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
     cb = d._pq_codebooks_distributed(emb)
     assert cb.shape == (d._PQ_M, d._PQ_KSUB, 64 // d._PQ_M)
+
+
+def test_table_checksum_partition_invariant(ray_session, tmp_path):
+    """The checksum must be identical regardless of how the table is
+    blocked (that is its whole purpose: cross-system comparison)."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    from lingvo__postagger_ner_ru_dnn_ray.stages.dataops import doc_table_checksum
+
+    import numpy as np
+
+    src = pq.read_table(f"{SF}/documents.parquet")
+    base = doc_table_checksum(SF).to_pandas()
+    # same rows, shuffled order, single re-blocked file
+    perm = np.random.RandomState(0).permutation(src.num_rows)
+    pq.write_table(src.take(perm), tmp_path / "documents.parquet")
+    again = doc_table_checksum(str(tmp_path)).to_pandas()
+    assert base["checksum"].iloc[0] == again["checksum"].iloc[0]
+    assert base["n_rows"].iloc[0] == again["n_rows"].iloc[0]
