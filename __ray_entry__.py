@@ -330,6 +330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bpe_pair_counts": d.doc_bpe_pair_counts,
         "doc_table_checksum": d.doc_table_checksum,
         "orders_upsert_merge": d.orders_upsert_merge,
+        "events_type_transitions": d.events_type_transitions,
         # --- sampling / ranking / anti-join
         "doc_sample": d.doc_sample,
         "doc_sample_stratified": d.doc_sample_stratified,
@@ -570,6 +571,7 @@ def _dataops_sql() -> dict[str, str]:
         "doc_bpe_pair_counts": d.BPE_PAIR_ORACLE_SQL,
         "doc_table_checksum": d.TABLE_CHECKSUM_ORACLE_SQL,
         "orders_upsert_merge": d.UPSERT_ORACLE_SQL,
+        "events_type_transitions": d.TYPE_TRANSITIONS_ORACLE_SQL,
         "doc_token_cms_registers": d.CMS_REGISTERS_ORACLE_SQL,
         "doc_token_cms_estimate": d.CMS_ESTIMATE_ORACLE_SQL,
         "doc_token_heavy_hitters": d.HEAVY_HITTERS_ORACLE_SQL,

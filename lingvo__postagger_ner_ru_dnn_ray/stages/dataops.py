@@ -4882,3 +4882,133 @@ WITH base AS (
 SELECT o_orderkey, o_orderstatus, version FROM u
 QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) = 1
 """
+
+
+# --------------------------------------------------------------------------- #
+# per-user event-type transition counts (Markov matrix over sequences)
+
+def events_type_transitions(sf_dir: str) -> ray.data.Dataset:
+    """Count (prev_type → event_type) over each user's event sequence
+    ordered by (ts, event_id) — the Markov-chain statistic for behavioral
+    modeling. Same skew-safe shape as events_user_rolling: within-cell
+    (user × day-bucket) pairs are one vectorized shift; ONLY each cell's
+    first and last rows (2 per cell, volume-independent) enter a second
+    pass that counts the cross-cell pairs — two collected rows are
+    adjacent in the original stream iff they are consecutive in collected
+    order, the earlier is its cell's last row and the later is another
+    cell's first row (any intervening original row would have put its own
+    cell's boundary rows between them)."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(batch.column("ts"), pa.int64())
+        bucket = pc.divide(ts_us, _SESSION_BUCKET_US)
+        salt = _user_hash_salt(np.asarray(batch.column("user_id")), np.asarray(bucket))
+        return pa.Table.from_arrays(
+            [batch.column("event_id"), batch.column("user_id"), batch.column("ts"),
+             batch.column("event_type"), bucket, pa.array(salt)],
+            names=["event_id", "user_id", "ts", "event_type", "bucket", "salt"],
+        )
+
+    cnt_schema = pa.schema(
+        [("prev_type", pa.string()), ("event_type", pa.string()), ("n", pa.int64())]
+    )
+    bnd_schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()), ("ts", pa.timestamp("us")),
+         ("event_type", pa.string()), ("bucket", pa.int64()),
+         ("is_first", pa.bool_()), ("is_last", pa.bool_()), ("salt2", pa.int64())]
+    )
+
+    def _sorted(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["user_id", "bucket", "ts", "event_id"]).reset_index(drop=True)
+
+    def cell_pairs(g: pd.DataFrame) -> pa.Table:
+        if g.empty:
+            return cnt_schema.empty_table()
+        g = _sorted(g)
+        u, b = g["user_id"].to_numpy(), g["bucket"].to_numpy()
+        et = g["event_type"].to_numpy(dtype=object)
+        same = np.zeros(len(g), dtype=bool)
+        same[1:] = (u[1:] == u[:-1]) & (b[1:] == b[:-1])
+        prev, nxt = et[:-1][same[1:]], et[1:][same[1:]]
+        out = (
+            pd.DataFrame({"prev_type": prev, "event_type": nxt})
+            .groupby(["prev_type", "event_type"], sort=False).size().reset_index(name="n")
+        )
+        return pa.Table.from_arrays(
+            [pa.array(out["prev_type"].to_numpy(dtype=object)),
+             pa.array(out["event_type"].to_numpy(dtype=object)),
+             pa.array(out["n"].to_numpy(np.int64))],
+            schema=cnt_schema,
+        )
+
+    def cell_bounds(g: pd.DataFrame) -> pa.Table:
+        if g.empty:
+            return bnd_schema.empty_table()
+        g = _sorted(g)
+        pos = g.groupby(["user_id", "bucket"], sort=False).cumcount().to_numpy()
+        size = g.groupby(["user_id", "bucket"], sort=False)["event_id"].transform("size").to_numpy()
+        first, last = pos == 0, pos == size - 1
+        sel = first | last
+        out = g[sel]
+        return pa.Table.from_arrays(
+            [pa.array(out["event_id"].to_numpy(np.int64)),
+             pa.array(out["user_id"].to_numpy(np.int64)),
+             pa.array(out["ts"].to_numpy("datetime64[us]")),
+             pa.array(out["event_type"].to_numpy(dtype=object)),
+             pa.array(out["bucket"].to_numpy(np.int64)),
+             pa.array(first[sel]), pa.array(last[sel]),
+             pa.array(_user_hash_salt(out["user_id"].to_numpy()))],
+            schema=bnd_schema,
+        )
+
+    def boundary_pairs(g: pd.DataFrame) -> pa.Table:
+        if g.empty:
+            return cnt_schema.empty_table()
+        g = _sorted(g)
+        u = g["user_id"].to_numpy()
+        b = g["bucket"].to_numpy()
+        et = g["event_type"].to_numpy(dtype=object)
+        isf, isl = g["is_first"].to_numpy(bool), g["is_last"].to_numpy(bool)
+        take = np.zeros(len(g) - 1, dtype=bool) if len(g) > 1 else np.zeros(0, dtype=bool)
+        if len(g) > 1:
+            take = (u[1:] == u[:-1]) & (b[1:] != b[:-1]) & isl[:-1] & isf[1:]
+        prev, nxt = et[:-1][take], et[1:][take]
+        if not len(prev):
+            return cnt_schema.empty_table()
+        out = (
+            pd.DataFrame({"prev_type": prev, "event_type": nxt})
+            .groupby(["prev_type", "event_type"], sort=False).size().reset_index(name="n")
+        )
+        return pa.Table.from_arrays(
+            [pa.array(out["prev_type"].to_numpy(dtype=object)),
+             pa.array(out["event_type"].to_numpy(dtype=object)),
+             pa.array(out["n"].to_numpy(np.int64))],
+            schema=cnt_schema,
+        )
+
+    base = ev.map_batches(add_bucket, batch_format="pyarrow")
+    within = base.groupby("salt").map_groups(cell_pairs, batch_format="pandas")
+    cross = (
+        base.groupby("salt").map_groups(cell_bounds, batch_format="pandas")
+        .groupby("salt2").map_groups(boundary_pairs, batch_format="pandas")
+    )
+    return (
+        within.union(cross)
+        .groupby(["prev_type", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+TYPE_TRANSITIONS_ORACLE_SQL = """
+WITH o AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type, count(*)::BIGINT AS n
+FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2
+"""

@@ -78,6 +78,7 @@ SQL_QUERIES = [
     "doc_bpe_pair_counts",
     "doc_table_checksum",
     "orders_upsert_merge",
+    "events_type_transitions",
 ]
 
 
@@ -649,3 +650,48 @@ def test_table_checksum_partition_invariant(ray_session, tmp_path):
     again = doc_table_checksum(str(tmp_path)).to_pandas()
     assert base["checksum"].iloc[0] == again["checksum"].iloc[0]
     assert base["n_rows"].iloc[0] == again["n_rows"].iloc[0]
+
+
+def test_transitions_cross_bucket_boundaries(ray_session, tmp_path):
+    """Transition pairs that straddle day-bucket boundaries (incl. chains
+    of single-event days, where a cell's only row is both its first and
+    last) must be counted exactly once by the boundary pass."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = 1_700_000_000_000_000
+    day = 86_400_000_000
+    rows = []
+    eid = 0
+    types = ["click", "view", "purchase"]
+    # user 0: one event per day for 9 days (every pair is cross-bucket)
+    for i in range(9):
+        rows.append((eid, 0, base + i * day, types[i % 3])); eid += 1
+    # user 1: dense day then a gap then dense day
+    for i in range(50):
+        rows.append((eid, 1, base + i * 1_000_000, types[i % 2])); eid += 1
+    for i in range(50):
+        rows.append((eid, 1, base + 3 * day + i * 1_000_000, types[(i + 1) % 2])); eid += 1
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[2] for r in rows], dtype=np.int64), pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+
+    from lingvo__postagger_ner_ru_dnn_ray.stages.dataops import (
+        TYPE_TRANSITIONS_ORACLE_SQL,
+        events_type_transitions,
+    )
+
+    got = events_type_transitions(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = con.execute(TYPE_TRANSITIONS_ORACLE_SQL).fetchdf()
+    g, w = _canon(got), _canon(want)
+    assert len(g) == len(w) and g.equals(w)
+    assert int(g["n"].sum()) == len(rows) - 2  # every consecutive pair counted once
