@@ -7,20 +7,19 @@ pandas), payloads are decoded in a CALLABLE-CLASS actor pool whose decoder
 state loads once per actor, and batch sizes are kept small because each
 row is payload-heavy (guide §memory).
 
-The codecs are real for image and audio: payloads are valid 24-bit BI_RGB
-**BMP** files and PCM16 mono **WAV** files, parsed header-first with no
-external libraries, so width/height/sample counts and the pixel/sample
-byte checksum are value-checkable against a DuckDB oracle over the raw
-payload bytes (``media_features_oracle_sql``). Only the *video* codec is
-a stub (no container-parsing libs here): deterministic pseudo-features
-from the payload bytes; swap ``_decode_video`` for a real demuxer in
-production — schema, actor signature, batch sizing and output layout do
-not change.
+All three codecs are real: payloads are valid 24-bit BI_RGB **BMP**
+files, PCM16 mono **WAV** files, and **Y4M** (YUV4MPEG2, C420) video
+streams, parsed header-first with no external libraries, so
+width/height/sample/frame counts and the pixel/sample byte checksum are
+value-checkable against a DuckDB oracle over the raw payload bytes
+(``media_features_oracle_sql`` — the Y4M ASCII header is re-parsed in
+SQL from hex pairs). Y4M is uncompressed; a production swap-in for
+compressed containers changes only ``_decode_video``'s body — schema,
+actor signature, batch sizing and output layout stay.
 """
 from __future__ import annotations
 
 import struct
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -37,7 +36,7 @@ MEDIA_SCHEMA = pa.schema(
 
 FEATURE_DIM = 16
 
-_MEDIA_VERSION = 2  # payload format version — keys the /tmp cache
+_MEDIA_VERSION = 3  # payload format version — keys the /tmp cache
 
 
 # --------------------------------------------------------------------------- #
@@ -80,9 +79,24 @@ def _make_wav(rng: np.random.RandomState) -> bytes:
     return header + samples.tobytes()
 
 
+def _make_y4m(rng: np.random.RandomState) -> bytes:
+    """Valid YUV4MPEG2 stream: ASCII header line, then FRAME-marked raw
+    C420 planes (w·h luma + 2·(w/2·h/2) chroma per frame)."""
+    w = 2 * int(rng.randint(2, 10))
+    h = 2 * int(rng.randint(2, 8))
+    n_frames = int(rng.randint(1, 5))
+    fps = int(rng.choice([24, 25, 30]))
+    fsize = w * h + 2 * ((w // 2) * (h // 2))
+    out = [f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C420jpeg\n".encode("ascii")]
+    for _ in range(n_frames):
+        out.append(b"FRAME\n")
+        out.append(rng.randint(0, 256, size=fsize, dtype=np.int64).astype(np.uint8).tobytes())
+    return b"".join(out)
+
+
 def synth_media_table(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic fake media corpus: REAL BMP images and PCM WAV audio
-    plus opaque pseudo-video payloads."""
+    """Deterministic fake media corpus: REAL BMP images, PCM WAV audio and
+    Y4M video streams."""
     rng = np.random.RandomState(seed)
     types = ["image", "audio", "video"]
     ids, ts, payloads, metas = [], [], [], []
@@ -93,11 +107,10 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
         elif t == "audio":
             payloads.append(_make_wav(rng))
         else:
-            size = 256 + int(rng.randint(0, 4096))
-            payloads.append(rng.bytes(size))
+            payloads.append(_make_y4m(rng))
         ids.append(i)
         ts.append(t)
-        metas.append(f'{{"codec":"{"bmp" if t == "image" else "wav" if t == "audio" else "stub"}","idx":{i}}}')
+        metas.append(f'{{"codec":"{"bmp" if t == "image" else "wav" if t == "audio" else "y4m"}","idx":{i}}}')
     return pa.Table.from_arrays(
         [
             pa.array(ids, pa.int64()),
@@ -114,17 +127,20 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
 
 
 class MediaDecoder:
-    """Codec+feature actor: real BMP / WAV header+content parsing (pure
-    numpy — no image/audio libraries needed), stub for video. A pure,
-    deterministic function of the payload bytes.
+    """Codec+feature actor: real BMP / WAV / Y4M header+content parsing
+    (pure numpy — no media libraries needed). A pure, deterministic
+    function of the payload bytes.
 
-    Per type it emits (width, height, byte_sum, features):
-      image  — BMP width / height; byte_sum over the pixel region (from
-               the header's pixel-array offset to EOF); features =
+    Per type it emits (width, height, n_frames, byte_sum, features):
+      image  — BMP width / height, n_frames = 1; byte_sum over the pixel
+               region (header's pixel-array offset to EOF); features =
                per-channel means.
-      audio  — width = n_samples, height = sample_rate; byte_sum over the
-               PCM data (byte 44..EOF); features = sample mean/std.
-      video  — stub: zeros + crc-derived pseudo-embedding.
+      audio  — width = n_samples, height = sample_rate, n_frames = 0;
+               byte_sum over the PCM data (byte 44..EOF); features =
+               sample mean/std.
+      video  — Y4M width / height / frame count from the ASCII stream
+               header + FRAME layout; byte_sum over everything after the
+               header line; features = first-frame luma mean/std.
     """
 
     def __init__(self, feature_dim: int = FEATURE_DIM):
@@ -150,7 +166,7 @@ class MediaDecoder:
         feat[:3] = (px.mean(axis=0) / 255.0) if len(px) else 0.0
         feat[3] = w / 1024.0
         feat[4] = abs(h) / 1024.0
-        return w, abs(h), byte_sum, feat
+        return w, abs(h), 1, byte_sum, feat
 
     def _decode_audio(self, p: bytes):
         if len(p) < 44 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
@@ -170,15 +186,40 @@ class MediaDecoder:
             feat[0] = samples.mean() / 32768.0
             feat[1] = samples.std() / 32768.0
         feat[2] = sample_rate / 48000.0
-        return n_samples, sample_rate, byte_sum, feat
+        return n_samples, sample_rate, 0, byte_sum, feat
 
     def _decode_video(self, p: bytes):
-        # STUB — no demuxer in this container; deterministic fake
-        h = zlib.crc32(p)
-        rng = np.random.RandomState(h % (2**31))
-        feat = rng.rand(self.feature_dim).astype(np.float32)
-        byte_sum = int(np.frombuffer(p, dtype=np.uint8).sum(dtype=np.int64))
-        return 0, 0, byte_sum, feat
+        nl = p.find(b"\n")
+        if nl < 0 or not p.startswith(b"YUV4MPEG2"):
+            raise ValueError("not a Y4M payload")
+        w = h = None
+        for tok in p[:nl].decode("ascii").split(" ")[1:]:
+            if tok.startswith("W"):
+                w = int(tok[1:])
+            elif tok.startswith("H"):
+                h = int(tok[1:])
+        if not w or not h:
+            raise ValueError("Y4M header missing W/H")
+        fsize = w * h + 2 * ((w // 2) * (h // 2))
+        body = len(p) - nl - 1
+        if body % (6 + fsize):
+            raise ValueError("truncated Y4M frame")
+        n_frames = body // (6 + fsize)
+        data = np.frombuffer(p, dtype=np.uint8, offset=nl + 1)
+        for fi in range(n_frames):
+            off = fi * (6 + fsize)
+            if bytes(data[off : off + 6]) != b"FRAME\n":
+                raise ValueError("bad FRAME marker")
+        byte_sum = int(data.sum(dtype=np.int64))
+        feat = np.zeros(self.feature_dim, dtype=np.float32)
+        if n_frames:
+            luma = data[6 : 6 + w * h].astype(np.float64)
+            feat[0] = luma.mean() / 255.0
+            feat[1] = luma.std() / 255.0
+        feat[2] = w / 1024.0
+        feat[3] = h / 1024.0
+        feat[4] = n_frames / 64.0
+        return w, h, n_frames, byte_sum, feat
 
     def _decode(self, payload: bytes, media_type: str):
         if media_type == "image":
@@ -191,11 +232,12 @@ class MediaDecoder:
         ids = batch.column("media_id")
         types = batch.column("media_type").to_pylist()
         payloads = batch.column("payload").to_pylist()
-        w_out, h_out, n_bytes, sums, feats = [], [], [], [], []
+        w_out, h_out, nf_out, n_bytes, sums, feats = [], [], [], [], [], []
         for t, p in zip(types, payloads):
-            w, h, s, f = self._decode(p, t)
+            w, h, nf, s, f = self._decode(p, t)
             w_out.append(w)
             h_out.append(h)
+            nf_out.append(nf)
             n_bytes.append(len(p))
             sums.append(s)
             feats.append(f)
@@ -206,11 +248,12 @@ class MediaDecoder:
                 pa.array(n_bytes, pa.int64()),
                 pa.array(w_out, pa.int32()),
                 pa.array(h_out, pa.int32()),
+                pa.array(nf_out, pa.int64()),
                 pa.array(sums, pa.int64()),
                 pa.array([f.tolist() for f in feats], pa.list_(pa.float32())),
             ],
             names=["media_id", "media_type", "n_bytes", "width", "height",
-                   "byte_sum", "features"],
+                   "n_frames", "byte_sum", "features"],
         )
 
 
@@ -317,31 +360,54 @@ def media_features_oracle_sql(path: str) -> str:
     bytes: BMP width/height and pixel-array offset are little-endian u32
     reads at the documented header offsets (10/18/22); WAV n_samples and
     sample_rate likewise (data size at 40, rate at 24, data at 44); the
-    byte checksum re-sums every payload byte from the data offset via
-    hex-pair arithmetic."""
+    Y4M ASCII header line is re-assembled from hex pairs and regex-parsed
+    for W/H, frame count follows from the FRAME+plane layout; the byte
+    checksum re-sums every payload byte from the data offset via hex-pair
+    arithmetic."""
     return f"""
 WITH m AS (
   SELECT media_id, media_type, hex(payload) AS h,
          octet_length(payload)::BIGINT AS n_bytes
   FROM read_parquet('{path}')
+), vh AS (
+  SELECT media_id, h, n_bytes,
+         list_filter(range(0, n_bytes), i -> substr(h, 2*i+1, 2) = '0A')[1]
+           AS nl
+  FROM m WHERE media_type = 'video'
+), vp AS (
+  SELECT media_id, nl,
+    regexp_extract(hdr, 'W([0-9]+)', 1)::INT AS vw,
+    regexp_extract(hdr, 'H([0-9]+)', 1)::INT AS vh
+  FROM (
+    SELECT media_id, nl,
+      list_aggregate(list_transform(range(0, nl),
+        i -> chr(('0x' || substr(h, 2*i+1, 2))::INT)), 'string_agg', '')
+        AS hdr
+    FROM vh
+  )
 ), parsed AS (
-  SELECT media_id, media_type, n_bytes,
-    CASE media_type
-      WHEN 'image' THEN {_le32('h', 18)}
-      WHEN 'audio' THEN {_le32('h', 40)} // 2
-      ELSE 0 END::INTEGER AS width,
-    CASE media_type
-      WHEN 'image' THEN {_le32('h', 22)}
-      WHEN 'audio' THEN {_le32('h', 24)}
-      ELSE 0 END::INTEGER AS height,
-    CASE media_type
-      WHEN 'image' THEN {_le32('h', 10)}
+  SELECT m.media_id, m.media_type, m.n_bytes,
+    CASE m.media_type
+      WHEN 'image' THEN {_le32('m.h', 18)}
+      WHEN 'audio' THEN {_le32('m.h', 40)} // 2
+      ELSE vp.vw END::INTEGER AS width,
+    CASE m.media_type
+      WHEN 'image' THEN {_le32('m.h', 22)}
+      WHEN 'audio' THEN {_le32('m.h', 24)}
+      ELSE vp.vh END::INTEGER AS height,
+    CASE m.media_type
+      WHEN 'image' THEN 1
+      WHEN 'audio' THEN 0
+      ELSE (m.n_bytes - vp.nl - 1) // (6 + (vp.vw * vp.vh * 3) // 2)
+      END::BIGINT AS n_frames,
+    CASE m.media_type
+      WHEN 'image' THEN {_le32('m.h', 10)}
       WHEN 'audio' THEN 44
-      ELSE 0 END::BIGINT AS data_off,
-    h
-  FROM m
+      ELSE vp.nl + 1 END::BIGINT AS data_off,
+    m.h
+  FROM m LEFT JOIN vp USING (media_id)
 )
-SELECT media_id, media_type, n_bytes, width, height,
+SELECT media_id, media_type, n_bytes, width, height, n_frames,
   list_sum(list_transform(range(data_off, n_bytes),
            i -> ('0x' || substr(h, 2*i + 1, 2))::INT))::BIGINT AS byte_sum
 FROM parsed
