@@ -340,3 +340,34 @@ def test_linker_fuzzy_fallback(ray_session):
     assert fz.column("obj_id")[0].as_py() == lookup[sf][0]  # exact path intact
     # deterministic across instances
     assert LinkerStage(fuzzy=True)(batch).column("subj_id")[0].as_py() == got
+
+
+def test_single_task_agg_equals_salted(ray_session):
+    """The barrier-free small-stream combine and the salted exchange must
+    produce identical edge/node tables (same aggregates, different
+    physical plans) — the size hint only changes the route."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from lingvo__postagger_ner_ru_dnn_ray.stages.conflate import (
+        _salted_final_agg,
+        _single_task_agg,
+    )
+
+    rng = np.random.RandomState(5)
+    n = 20_000
+    tbl = pa.table({
+        "k1": pa.array(rng.randint(0, 500, n), pa.int64()),
+        "k2": pa.array([f"p{i%7}" for i in range(n)], pa.string()),
+        "weight": pa.array(rng.randint(1, 9, n), pa.int64()),
+        "canon": pa.array([f"c{rng.randint(0, 9)}" for _ in range(n)], pa.string()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(32)
+    a = _single_task_agg(ds, ["k1", "k2"], sums=["weight"], mins=["canon"]).to_pandas()
+    b = _salted_final_agg(ds, ["k1", "k2"], sums=["weight"], mins=["canon"]).to_pandas()
+    key = ["k1", "k2"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b[a.columns].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
