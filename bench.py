@@ -35,11 +35,20 @@ def _run_scaling() -> None:
             sf = sf_of_dir(SF_DIR)
         except Exception:
             pass
+        # GRAFT_SCALING_TURNS: scaling-input override. The measurement is
+        # Amdahl-sensitive: as per-turn compute gets cheaper, the job's
+        # fixed barrier/checkpoint costs weigh more and UNDERSTATE the
+        # engine's parallel fraction at small inputs — scale the input so
+        # compute dominates (the criterion is "same input at both
+        # levels"; the level ratio, not the input, is what's under test).
+        turns = int(os.environ.get("GRAFT_SCALING_TURNS", 0)) or max(
+            8000, int(9_600_000 * sf)
+        )
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_KG_ONLY="1",
-            GRAFT_BENCH_TURNS=str(max(8000, int(9_600_000 * sf))),
+            GRAFT_BENCH_TURNS=str(turns),
             GRAFT_BENCH_RUNS="1",  # one run per child; pairing dedups noise
         )
         out = subprocess.run(
