@@ -147,7 +147,11 @@ class SeqLabelModel:
             todo = list({k for k in keys if k not in memo})
             if todo:
                 if len(memo) + len(todo) > self._MEMO_CAP:
+                    # recompute EVERY key this batch needs after a clear —
+                    # keys that were memoized before the clear would
+                    # otherwise KeyError below
                     memo.clear()
+                    todo = list(set(keys))
                 for k, lab in zip(todo, self._forward_unique(todo)):
                     memo[k] = lab
             for (idx, _), key in zip(plain, keys):

@@ -119,7 +119,12 @@ class KgStage:
         todo = list({x for x in text if x and x not in memo})
         if todo:
             if len(memo) + len(todo) > (1 << 18):
+                # after a clear, every text this batch needs must be
+                # recomputed — not just the previously-missing ones
+                # (dropping the rest would KeyError below; hit in practice
+                # at ≥2^18 unique turns per worker)
                 memo.clear()
+                todo = list({x for x in text if x})
             for x, rows in zip(todo, self._compute_rows(todo)):
                 memo[x] = rows
 

@@ -182,3 +182,23 @@ def test_topk_class_probs():
         assert labels[0] == top_label
         assert probs == sorted(probs, reverse=True)
         assert 0.0 < probs[0] <= 1.0
+
+
+def test_memo_overflow_mid_batch():
+    """When the label memo clears mid-stream, keys that were memoized
+    BEFORE the clear but needed by the current batch must be recomputed
+    (the drop-and-KeyError bug hit at ≥2^17 unique sentences/worker)."""
+    pos, _ = taggers()
+    pos._label_memo.clear()
+    s1, s2 = ["_ovf_a"], ["_ovf_b"]
+    try:
+        pos.__dict__["_MEMO_CAP"] = 2
+        alone = pos.predict_batch([s1])[0]
+        pos.predict_batch([s2])  # memo now holds 2 keys == cap
+        # batch needs s1 (memoized) + two new keys -> forces a clear;
+        # s1 must still resolve
+        got = pos.predict_batch([["_ovf_c"], s1, ["_ovf_d"]])
+        assert got[1] == alone
+    finally:
+        pos.__dict__.pop("_MEMO_CAP", None)
+        pos._label_memo.clear()

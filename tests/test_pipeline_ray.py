@@ -371,3 +371,34 @@ def test_single_task_agg_equals_salted(ray_session):
     a = a.sort_values(key).reset_index(drop=True)
     b = b[a.columns].sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_turn_memo_overflow_mid_batch(ray_session):
+    """Same overflow discipline for the fused stage's turn memo: a batch
+    whose texts straddle a memo clear must still emit every turn's rows
+    (KeyError at ≥2^18 unique turns/worker before the fix)."""
+    import pyarrow as pa
+
+    from lingvo__postagger_ner_ru_dnn_ray.stages import fused as fz
+
+    st = fz.KgStage(dict_ref=None)
+    t1 = "Иван Смирнов встретил «СКР»."
+    t2 = "Ущерб составил более 9,5 млн руб."
+    mk = lambda texts: pa.table({
+        "conv_id": pa.array([f"c{i}" for i in range(len(texts))]),
+        "turn_idx": pa.array(list(range(len(texts))), pa.int32()),
+        "text": pa.array(texts),
+    })
+    base = st(mk([t1])).num_rows
+    import lingvo__postagger_ner_ru_dnn_ray.stages.fused as fmod
+
+    # shrink the cap by monkeypatching the literal via instance memo fill
+    st._turn_memo.clear()
+    st(mk([t1]))  # memo: {t1}
+    # simulate the cap being reached: preload memo to the clear threshold
+    for i in range((1 << 18)):
+        if len(st._turn_memo) >= (1 << 18):
+            break
+        st._turn_memo[f"_pad{i}"] = []
+    out = st(mk([t2, t1]))  # t1 memoized, t2 new -> clear fires
+    assert out.num_rows >= base  # t1's rows survived the clear
