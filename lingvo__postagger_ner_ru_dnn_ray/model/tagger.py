@@ -142,7 +142,14 @@ class SeqLabelModel:
                     labels.extend(self._predict_plain([part])[0])
                 out[idx] = labels
         if plain:
-            memo = self._label_memo
+            import os
+
+            # see fused.py: within-batch dedup stays; only the cross-batch
+            # cache is disabled under the scaling diagnostic
+            memo = (
+                {} if os.environ.get("GRAFT_KG_NO_MEMO") == "1"
+                else self._label_memo
+            )
             keys = [tuple(toks) for _, toks in plain]
             todo = list({k for k in keys if k not in memo})
             if todo:
