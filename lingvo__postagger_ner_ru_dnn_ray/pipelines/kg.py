@@ -226,22 +226,19 @@ def run_kg_job(
     if stats_out is not None:
         stats_out.append(("triples", triples.stats()))
     tri_written = ray.data.read_parquet(out["triples"])
-    # parquet metadata gives an in-memory size estimate WITHOUT executing;
-    # small checkpoints route the conflation through the barrier-free
-    # single-task combine (conflate._SMALL_COMBINE_BYTES), large ones
-    # through the salted exchange — measured: the two sort barriers were
-    # ~20 s of the 49 s 960k-turn job at 32 CPUs and scale-independent,
-    # i.e. the main thing holding 8→32 CPU scaling efficiency down.
-    edges_ds = conflate_edges(
-        tri_written, extra_keys=["part"], size_hint_bytes=tri_written.size_bytes()
-    )
+    # NOTE: a repartition(1) single-task final combine
+    # (conflate._single_task_agg) was tried here and REJECTED by a
+    # temporally-adjacent A/B at 240k turns / 32 CPUs: 19.9 s vs 11.3 s
+    # for the salted exchange (and 66.7 vs 40.9 in a steal band). The
+    # single collector task serializes the combine AND the downstream
+    # write, which costs more than the sort barrier it saves; the salted
+    # exchange keeps combine + write parallel.
+    edges_ds = conflate_edges(tri_written, extra_keys=["part"])
     edges_ds.write_parquet(out["edges"], partition_cols=["part"])
     if stats_out is not None:
         stats_out.append(("edges", edges_ds.stats()))
     edges_written = ray.data.read_parquet(out["edges"])
-    nodes_ds = nodes_from_edges(
-        edges_written, extra_keys=["part"], size_hint_bytes=edges_written.size_bytes()
-    )
+    nodes_ds = nodes_from_edges(edges_written, extra_keys=["part"])
     nodes_ds.write_parquet(out["nodes"], partition_cols=["part"])
     if stats_out is not None:
         stats_out.append(("nodes", nodes_ds.stats()))
