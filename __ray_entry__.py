@@ -255,10 +255,55 @@ def _graph_q(name: str) -> Callable[[str], Any]:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """Iteration order is deliberate (round-3 lesson: the driver's
+    correctness replay recorded a strict 50-entry PREFIX of this dict, so
+    order is coverage policy, not cosmetics):
+
+    1. the 33 queries that had no CORRECTNESS_r03 row, cheapest first
+       (all were green in the local replay; they need a driver verdict);
+    2. the flagship KG family;
+    3. everything already driver-green in r3, cheapest first, so any
+       count/time cap cuts only queries that already have a recorded
+       verdict.
+    """
     from lingvo__postagger_ner_ru_dnn_ray.stages import dataops as d
 
     return {
-        # --- KG construction pipeline (non-SQL ops; oracle = sequential run)
+        # ---- group 1: no r3 driver verdict yet (cheap -> expensive) ----
+        "doc_sample": d.doc_sample,
+        "doc_sample_stratified": d.doc_sample_stratified,
+        "doc_table_checksum": d.doc_table_checksum,
+        "lineitem_pricing": d.lineitem_pricing,
+        "lineitem_rollup": d.lineitem_rollup,
+        "part_topk": d.part_topk,
+        "doc_bpe_pair_counts": d.doc_bpe_pair_counts,
+        "events_daily_hll_registers": d.events_daily_hll_registers,
+        "events_props_extract": d.events_props_extract,
+        "events_top_users": d.events_top_users,
+        "events_user_type_set": d.events_user_type_set,
+        "supplier_stats": d.supplier_stats,
+        "supplier_topk_per_nation": d.supplier_topk_per_nation,
+        "doc_posting_lists": d.doc_posting_lists,
+        "events_interval_join": _interval_q,
+        "events_type_pivot": d.events_type_pivot,
+        "orders_bloom_registers": _bloom_q("orders_bloom_registers"),
+        "orders_by_month": d.orders_by_month,
+        "region_nation_counts": d.region_nation_counts,
+        "events_attribution": d.events_attribution,
+        "events_daily_hll_estimate": d.events_daily_hll_estimate,
+        "events_distinct_users": d.events_distinct_users,
+        "events_retention_cohorts": d.events_retention_cohorts,
+        "events_funnel": d.events_funnel,
+        "customers_without_orders": d.customers_without_orders,
+        "events_percent_rank": d.events_percent_rank,
+        "orders_upsert_merge": d.orders_upsert_merge,
+        "part_spelling_variants": d.part_spelling_variants,
+        "orders_by_nation": d.orders_by_nation,
+        "events_user_rolling": d.events_user_rolling,
+        "lineitem_bloom_semijoin": _bloom_q("lineitem_bloom_semijoin"),
+        "events_type_transitions": d.events_type_transitions,
+        "lineitem_bloom_fp_stats": _bloom_q("lineitem_bloom_fp_stats"),
+        # ---- group 2: flagship KG pipeline (oracle = sequential run) ----
         "kg_triples": lambda sf: _kg_table(sf, "triples"),
         "kg_mentions": lambda sf: _kg_table(sf, "mentions"),
         "kg_edges": lambda sf: _kg_table(sf, "edges"),
@@ -266,90 +311,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pos_label_counts": _kg_pos_label_counts,
         "kg_sentence_len_histogram": _kg_sentence_len_histogram,
         "seqlabel_f1": _seqlabel_f1,
-        # --- dedup family
-        "doc_dedup_exact": d.doc_dedup_exact,
-        "doc_jaccard_pairs": d.doc_jaccard_pairs,
-        "doc_minhash_pairs": d.doc_minhash_pairs,
-        "doc_dedup_minhash": d.doc_dedup_minhash,
-        "doc_jaccard_join_prefix": d.doc_jaccard_join_prefix,
-        "doc_clean_corpus": d.doc_clean_corpus,
-        "doc_dup_components": _graph_q("doc_dup_components"),
-        "doc_dedup_cc": _graph_q("doc_dedup_cc"),
-        "doc_dup_pagerank": _graph_q("doc_dup_pagerank"),
-        "doc_dup_triangles": _graph_q("doc_dup_triangles"),
-        "doc_simhash": d.doc_simhash,
-        "doc_simhash_neardup_pairs": d.doc_simhash_neardup_pairs,
-        "doc_fingerprint": d.doc_fingerprint,
-        # --- text analysis
-        "doc_token_count": d.doc_token_count,
+        # ---- group 3: r3-driver-green already (cheap -> expensive) ----
         "doc_quality": d.doc_quality,
+        "doc_token_count": d.doc_token_count,
+        "doc_fingerprint": d.doc_fingerprint,
         "doc_langid": d.doc_langid,
-        "doc_charlm_ppl": d.doc_charlm_ppl,
-        "doc_token_freq": d.doc_token_freq,
         "doc_len_histogram": d.doc_len_histogram,
-        "doc_token_hll_registers": d.doc_token_hll_registers,
+        "doc_simhash": d.doc_simhash,
         "doc_token_hll_estimate": d.doc_token_hll_estimate,
+        "media_stats": _media_stats,
+        "doc_rep_ngram_signals": d.doc_rep_ngram_signals,
         "doc_token_cms_registers": d.doc_token_cms_registers,
+        "doc_token_freq": d.doc_token_freq,
+        "doc_token_hll_registers": d.doc_token_hll_registers,
+        "emb_neardup_pairs": d.emb_neardup_pairs,
+        "doc_decontaminate": d.doc_decontaminate,
+        "emb_ann_topk": d.emb_ann_topk,
+        "events_window_sliding": d.events_window_sliding,
+        "doc_bm25_topk": d.doc_bm25_topk,
+        "doc_dedup_exact": d.doc_dedup_exact,
+        "emb_neardup_lsh": d.emb_neardup_lsh,
+        "events_value_quantiles": d.events_value_quantiles,
+        "doc_charlm_ppl": d.doc_charlm_ppl,
         "doc_token_cms_estimate": d.doc_token_cms_estimate,
         "doc_token_heavy_hitters": d.doc_token_heavy_hitters,
-        "doc_tfidf_topk": d.doc_tfidf_topk,
-        "doc_bm25_topk": d.doc_bm25_topk,
-        "doc_rep_ngram_signals": d.doc_rep_ngram_signals,
-        "doc_decontaminate": d.doc_decontaminate,
-        "doc_dup_spans": d.doc_dup_spans,
-        # --- similarity search
-        "emb_ann_topk": d.emb_ann_topk,
-        "emb_ann_ivf": d.emb_ann_ivf,
-        "emb_ann_ivf_recall": _emb_ann_ivf_recall,
-        "emb_pq_topk": d.emb_pq_topk,
-        "emb_pq_recall": _emb_pq_recall,
-        "emb_neardup_pairs": d.emb_neardup_pairs,
-        "emb_neardup_lsh": d.emb_neardup_lsh,
-        # --- multimodal plumbing (stub codec; rows-only check)
-        "media_features": _media_features,
-        "media_stats": _media_stats,
-        # --- event-stream windowing
+        "doc_simhash_neardup_pairs": d.doc_simhash_neardup_pairs,
         "events_window": d.events_window,
-        "events_window_sliding": d.events_window_sliding,
+        "media_features": _media_features,
+        "doc_tfidf_topk": d.doc_tfidf_topk,
         "events_sessions": d.events_sessions,
+        "doc_dup_spans": d.doc_dup_spans,
+        "emb_ann_ivf": d.emb_ann_ivf,
+        "emb_pq_topk": d.emb_pq_topk,
         "events_user_cumsum": d.events_user_cumsum,
-        "events_value_quantiles": d.events_value_quantiles,
-        "events_attribution": d.events_attribution,
-        "events_distinct_users": d.events_distinct_users,
-        "events_funnel": d.events_funnel,
-        "events_interval_join": _interval_q,
-        "events_daily_hll_registers": d.events_daily_hll_registers,
-        "events_daily_hll_estimate": d.events_daily_hll_estimate,
-        "events_props_extract": d.events_props_extract,
-        "events_percent_rank": d.events_percent_rank,
-        "events_type_pivot": d.events_type_pivot,
-        "events_user_rolling": d.events_user_rolling,
-        "events_retention_cohorts": d.events_retention_cohorts,
-        "events_user_type_set": d.events_user_type_set,
-        "doc_posting_lists": d.doc_posting_lists,
-        "doc_bpe_pair_counts": d.doc_bpe_pair_counts,
-        "doc_table_checksum": d.doc_table_checksum,
-        "orders_upsert_merge": d.orders_upsert_merge,
-        "events_type_transitions": d.events_type_transitions,
-        # --- sampling / ranking / anti-join
-        "doc_sample": d.doc_sample,
-        "doc_sample_stratified": d.doc_sample_stratified,
-        "supplier_topk_per_nation": d.supplier_topk_per_nation,
-        "customers_without_orders": d.customers_without_orders,
-        # --- relational basics
-        "lineitem_pricing": d.lineitem_pricing,
-        "lineitem_rollup": d.lineitem_rollup,
-        "orders_by_nation": d.orders_by_nation,
-        "part_topk": d.part_topk,
-        "part_spelling_variants": d.part_spelling_variants,
-        "supplier_stats": d.supplier_stats,
-        "orders_by_month": d.orders_by_month,
-        "region_nation_counts": d.region_nation_counts,
-        "events_top_users": d.events_top_users,
-        # --- bloom-prefiltered exact semi-join family
-        "orders_bloom_registers": _bloom_q("orders_bloom_registers"),
-        "lineitem_bloom_semijoin": _bloom_q("lineitem_bloom_semijoin"),
-        "lineitem_bloom_fp_stats": _bloom_q("lineitem_bloom_fp_stats"),
+        "emb_ann_ivf_recall": _emb_ann_ivf_recall,
+        "emb_pq_recall": _emb_pq_recall,
+        "doc_dedup_cc": _graph_q("doc_dedup_cc"),
+        "doc_minhash_pairs": d.doc_minhash_pairs,
+        "doc_dedup_minhash": d.doc_dedup_minhash,
+        "doc_dup_components": _graph_q("doc_dup_components"),
+        "doc_jaccard_pairs": d.doc_jaccard_pairs,
+        "doc_dup_triangles": _graph_q("doc_dup_triangles"),
+        "doc_dup_pagerank": _graph_q("doc_dup_pagerank"),
+        "doc_clean_corpus": d.doc_clean_corpus,
+        "doc_jaccard_join_prefix": d.doc_jaccard_join_prefix,
     }
 
 

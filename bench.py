@@ -41,7 +41,7 @@ def _run_scaling() -> None:
         # engine's parallel fraction at small inputs — scale the input so
         # compute dominates (the criterion is "same input at both
         # levels"; the level ratio, not the input, is what's under test).
-        turns = int(os.environ.get("GRAFT_SCALING_TURNS", 0)) or max(
+        turns = int(os.environ.get("GRAFT_SCALING_TURNS") or 0) or max(
             8000, int(9_600_000 * sf)
         )
         env = dict(
@@ -240,18 +240,35 @@ def main() -> None:
         timed("doc_posting_lists", dataops.doc_posting_lists)
         timed("emb_pq_topk", dataops.emb_pq_topk)
 
+    # round-3 lesson: one giant JSON line (83 queries + per-stage stats)
+    # overflowed the driver's tail capture and the round's parsed metrics
+    # were lost. The LAST line is now a compact summary (headline + per-
+    # query seconds only); row counts, samples and kg_stage_stats spill to
+    # a sidecar file next to this script.
+    secs = {k: v for k, v in queries.items() if not k.endswith(("_rows", "_samples"))}
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump({
+            "queries_full": queries,
+            "kg_e2e_samples": samples,
+            "kg_stage_stats": stage_stats,
+            "num_cpus": NUM_CPUS,
+            "n_turns": n_turns,
+        }, f, indent=1)
     print(json.dumps({
         "metric": "kg_e2e_sec",
         "value": round(kg_sec, 3),
         "unit": "sec",
-        "queries": queries,
+        "queries": secs,
         "sf": sf,
         "num_cpus": NUM_CPUS,
         "n_turns": n_turns,
         "n_triples": n_triples,
         "turns_per_sec": round(n_turns / kg_sec, 1),
         "triples_per_sec": round(n_triples / kg_sec, 1),
-        "kg_stage_stats": stage_stats,
+        "detail": detail_path,
     }))
     ray.shutdown()
 

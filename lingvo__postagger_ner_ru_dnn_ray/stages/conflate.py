@@ -82,7 +82,10 @@ def _single_task_agg(
     out_cols = keys + sums + mins
 
     def final(batch: pd.DataFrame) -> pd.DataFrame:
-        out = batch.groupby(keys, as_index=False).agg(agg_spec)
+        # dropna=False: null-keyed rows must aggregate like any other key
+        # (pandas' default silently drops them — a row-loss divergence vs
+        # the salted route)
+        out = batch.groupby(keys, as_index=False, dropna=False).agg(agg_spec)
         return out[out_cols]
 
     return partial.repartition(1).map_batches(
@@ -114,7 +117,7 @@ def _salted_final_agg(
     out_cols = keys + sums + mins
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby(keys, as_index=False).agg(agg_spec)
+        out = g.groupby(keys, as_index=False, dropna=False).agg(agg_spec)
         return out[out_cols]
 
     return (

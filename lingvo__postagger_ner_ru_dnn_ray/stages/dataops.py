@@ -4254,15 +4254,42 @@ def events_user_rolling(sf_dir: str) -> ray.data.Dataset:
         )
         return done_t, fix_t
 
-    def bucket_roll_done(g: pd.DataFrame) -> pa.Table:
-        if g.empty:
-            return done_schema.empty_table()
-        return bucket_roll(g)[0]
+    # phase-1 output rides ONE kind-tagged union table (the graph-module
+    # _ROW_SCHEMA pattern) so the grouped scan — the operator's dominant
+    # shuffle+sort — runs exactly once; done/fix rows split downstream
+    # with cheap vectorized block filters.
+    tagged_schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()),
+         ("cents", pa.int64()), ("roll_sum_cents", pa.int64()),
+         ("roll_n", pa.int64()), ("ts", pa.timestamp("us")),
+         ("bucket", pa.int64()), ("is_head", pa.bool_()),
+         ("salt2", pa.int64()), ("kind", pa.int8())]
+    )
 
-    def bucket_roll_fix(g: pd.DataFrame) -> pa.Table:
+    def _pad_to_tagged(t: pa.Table, kind: int) -> pa.Table:
+        arrays = []
+        for f in tagged_schema:
+            if f.name == "kind":
+                arrays.append(pa.array(np.full(t.num_rows, kind, dtype=np.int8)))
+            elif f.name in t.schema.names:
+                arrays.append(t.column(f.name))
+            else:
+                arrays.append(pa.nulls(t.num_rows, f.type))
+        return pa.Table.from_arrays(arrays, schema=tagged_schema)
+
+    def bucket_roll_tagged(g: pd.DataFrame) -> pa.Table:
         if g.empty:
-            return fix_schema.empty_table()
-        return bucket_roll(g)[1]
+            return tagged_schema.empty_table()
+        done_t, fix_t = bucket_roll(g)
+        return pa.concat_tables([_pad_to_tagged(done_t, 0), _pad_to_tagged(fix_t, 1)])
+
+    def take_done(batch: pa.Table) -> pa.Table:
+        out = batch.filter(pc.equal(batch.column("kind"), 0))
+        return out.select(done_schema.names)
+
+    def take_fix(batch: pa.Table) -> pa.Table:
+        out = batch.filter(pc.equal(batch.column("kind"), 1))
+        return out.select(fix_schema.names)
 
     def head_fix(g: pd.DataFrame) -> pa.Table:
         if g.empty:
@@ -4280,13 +4307,18 @@ def events_user_rolling(sf_dir: str) -> ray.data.Dataset:
         )
 
     base = ev.map_batches(add_bucket, batch_format="pyarrow")
-    # the two phase-1 outputs share the same grouped scan; running the
-    # grouping twice keeps each output a clean single-schema Dataset
-    # (Ray map_groups emits one table per group) at the cost of one extra
-    # pass over the raw events — both passes are block-streaming.
-    done_ds = base.groupby("salt").map_groups(bucket_roll_done, batch_format="pandas")
+    # materialized so the two downstream branches re-read blocks instead
+    # of re-running the shuffle (without it each branch re-executes the
+    # whole grouped scan — Ray plans are per-consumer); the tagged table
+    # is ~input-sized and object-store/spill-bounded.
+    tagged = (
+        base.groupby("salt")
+        .map_groups(bucket_roll_tagged, batch_format="pandas")
+        .materialize()
+    )
+    done_ds = tagged.map_batches(take_done, batch_format="pyarrow")
     fix_ds = (
-        base.groupby("salt").map_groups(bucket_roll_fix, batch_format="pandas")
+        tagged.map_batches(take_fix, batch_format="pyarrow")
         .groupby("salt2").map_groups(head_fix, batch_format="pandas")
     )
     return done_ds.union(fix_ds)

@@ -144,6 +144,17 @@ def _contract_edges(edges_d: ray.data.Dataset, passes: int = 3) -> ray.data.Data
         node, root = node[sel], root[sel]
         src = np.concatenate([node, root])
         dst = np.concatenate([root, node])
+        # a node whose partition edges are ALL self-loops (or an isolated
+        # root) produces no union, so it appears in neither star side and
+        # would vanish from the contracted edge set — keep it alive as an
+        # identity edge so connected_components still labels it
+        endpoints = np.union1d(
+            e["k"].to_numpy(dtype=np.int64), e["val"].to_numpy(dtype=np.int64)
+        )
+        missing = endpoints if len(src) == 0 else np.setdiff1d(endpoints, src)
+        if missing.size:
+            src = np.concatenate([src, missing])
+            dst = np.concatenate([dst, missing])
         return pa.Table.from_arrays(
             [pa.array(src), pa.array(_key_salt(src)),
              pa.array(np.ones(len(src), dtype=np.int8)), pa.array(dst)],

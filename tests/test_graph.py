@@ -33,6 +33,14 @@ def test_cc_long_chain_converges(ray_session):
     assert got == {i: 0 for i in range(n)}
 
 
+def test_cc_self_loop_only_node_survives(ray_session):
+    # a node whose ONLY edges are self-loops must still get a component
+    # label (regression: _contract_edges dropped such nodes — no union
+    # fires, so the node appeared in neither star side)
+    got = _cc_of(pa.table({"doc_a": [1, 5, 7, 7], "doc_b": [2, 5, 7, 8]}))
+    assert got == {1: 1, 2: 1, 5: 5, 7: 7, 8: 7}
+
+
 def test_cc_empty_edges(ray_session):
     import ray.data
 

@@ -358,9 +358,12 @@ def test_single_task_agg_equals_salted(ray_session):
 
     rng = np.random.RandomState(5)
     n = 20_000
+    # every 97th k2 is NULL: both routes must aggregate null keys as a
+    # real group (regression: pandas groupby default dropna=True silently
+    # dropped them on the single-task route)
     tbl = pa.table({
         "k1": pa.array(rng.randint(0, 500, n), pa.int64()),
-        "k2": pa.array([f"p{i%7}" for i in range(n)], pa.string()),
+        "k2": pa.array([None if i % 97 == 0 else f"p{i%7}" for i in range(n)], pa.string()),
         "weight": pa.array(rng.randint(1, 9, n), pa.int64()),
         "canon": pa.array([f"c{rng.randint(0, 9)}" for _ in range(n)], pa.string()),
     })
@@ -370,6 +373,7 @@ def test_single_task_agg_equals_salted(ray_session):
     key = ["k1", "k2"]
     a = a.sort_values(key).reset_index(drop=True)
     b = b[a.columns].sort_values(key).reset_index(drop=True)
+    assert a["k2"].isna().any()  # the null-key groups survived
     pd.testing.assert_frame_equal(a, b)
 
 
