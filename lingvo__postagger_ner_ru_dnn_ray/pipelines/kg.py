@@ -253,11 +253,90 @@ def run_kg_job(
     return {"skipped": False, "partitions_done": sorted(done), "partitions_run": todo, "rows": rows}
 
 
-def merge_kg_runs(run_dirs: list[str], out_dir: str) -> dict:
+def _assert_disjoint_runs(run_dirs: list[str]) -> None:
+    """Raise if two delta runs share a conversation — merged edge weights
+    would silently double-count. Two layers:
+
+    1. manifest fast path: identical triples config hashes (same input +
+       config processed twice) raise without touching data;
+    2. exact check: column-pruned read of each run's triples ``conv_id``
+       only, per-batch distinct partials tagged with their run index,
+       one salted exchange over O(distinct convs x runs) rows, raise on
+       any conv seen in >= 2 runs. No driver pull beyond a 5-row sample
+       of the violations.
+    """
+    import json as _json
+
+    import numpy as np
+    import pandas as pd
+
+    seen_cfg: dict[str, str] = {}
+    for d in run_dirs:
+        for mpath in sorted(Path(d).glob("triples/part=*/" + mf.MANIFEST_NAME)):
+            try:
+                ch = _json.loads(mpath.read_text()).get("config_hash")
+            except (OSError, _json.JSONDecodeError):
+                continue
+            if ch and ch in seen_cfg and seen_cfg[ch] != d:
+                raise ValueError(
+                    f"merge_kg_runs: runs {seen_cfg[ch]!r} and {d!r} carry the same "
+                    f"triples config hash {ch} — the same input was processed twice; "
+                    "deltas must cover disjoint conversation sets"
+                )
+            if ch:
+                seen_cfg[ch] = d
+
+    parts: list[ray.data.Dataset] = []
+    for i, d in enumerate(run_dirs):
+        ds = ray.data.read_parquet(f"{d}/triples", columns=["conv_id"])
+
+        def distinct_tag(batch: pa.Table, run: int = i) -> pa.Table:
+            u = pc.unique(batch.column("conv_id"))
+            h = pd.util.hash_pandas_object(
+                pd.Series(u.to_pandas()), index=False
+            ).to_numpy()
+            return pa.Table.from_arrays(
+                [u, pa.array(np.full(len(u), run, dtype=np.int32)),
+                 pa.array((h % 512).astype("int64"))],
+                names=["conv_id", "run", "salt"],
+            )
+
+        parts.append(ds.map_batches(distinct_tag, batch_format="pyarrow"))
+    tagged = parts[0]
+    for p_ in parts[1:]:
+        tagged = tagged.union(p_)
+
+    def overlaps(g: pd.DataFrame) -> pd.DataFrame:
+        vc = g.drop_duplicates(["conv_id", "run"]).groupby("conv_id")["run"].nunique()
+        bad = vc[vc > 1].index
+        return pd.DataFrame({"conv_id": pd.Series(bad, dtype=g["conv_id"].dtype)})
+
+    bad_rows = (
+        tagged.groupby("salt")
+        .map_groups(overlaps, batch_format="pandas")
+        .take(5)
+    )
+    if bad_rows:
+        sample = [r["conv_id"] for r in bad_rows]
+        raise ValueError(
+            "merge_kg_runs: delta runs overlap — conversations present in "
+            f">=2 runs (sample: {sample}); merging would double-count edge "
+            "weights. Pass check_overlap=False only for provably disjoint drops."
+        )
+
+
+def merge_kg_runs(
+    run_dirs: list[str], out_dir: str, *, check_overlap: bool = True
+) -> dict:
     """Incremental KG maintenance: merge the AGGREGATED graph views of
     several delta runs (disjoint conversation sets — e.g. daily transcript
     drops each processed by ``run_kg_job``) into one edges/nodes view
     WITHOUT re-running extraction.
+
+    ``check_overlap`` (default on) verifies the disjointness contract
+    (see ``_assert_disjoint_runs``) — exact, column-pruned, one salted
+    exchange bounded by distinct conversations, raising before any output
+    is written. Disable only when disjointness is guaranteed upstream.
 
     Edge rows are already partial aggregates keyed (part, subj_id, pred,
     obj_id) with mergeable stats (weight = sum, canon/type = min), so the
@@ -273,6 +352,8 @@ def merge_kg_runs(run_dirs: list[str], out_dir: str) -> dict:
     tests/test_pipeline_ray.py::test_kg_incremental_merge."""
     from ..stages.conflate import _salted_final_agg
 
+    if check_overlap:
+        _assert_disjoint_runs(run_dirs)
     reads = [ray.data.read_parquet(f"{d}/edges") for d in run_dirs]
     edges = reads[0]
     for r in reads[1:]:

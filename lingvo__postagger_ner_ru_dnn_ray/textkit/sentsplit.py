@@ -38,6 +38,14 @@ _UP = xlat.UPPER_INVARIANT_L
 _WS = xlat.IS_WHITESPACE
 _PUNCT = xlat.IS_PUNCTUATION
 
+# (second-to-last, last) upper-invariant code units of every street-end
+# entry — a two-char probe rejects non-candidate dots without the
+# backward token scan + string build
+_STREET_LAST2 = frozenset(
+    (ord(s[-2]), ord(s[-1]))
+    for s in set(STREETS_ENDS_SEPARATE) | set(STREETS_ENDS_COMPLEX_SUFFIX)
+)
+
 
 class Sent(NamedTuple):
     start: int
@@ -71,14 +79,21 @@ def split_sents_simple(text: str, u16=None, urls: list[UrlSpan] | None = None) -
     url_idx = 0
     next_url_start = urls[0].start if urls else 1 << 60
 
+    _BAD = _WS | _PUNCT
+
     def emit(end: int) -> None:
         nonlocal sent_start, sent_len, cur_urls
         start = sent_start + sent_len
         length = end - start
         if length <= 0:
             return
-        if not _is_all_punct_or_ws(u, start, length):
-            sents.append(Sent(start, length, tuple(cur_urls)))
+        # all-punct-or-ws drop check: early-exit scan (almost every kept
+        # sentence starts with a letter, so this is O(1) in practice;
+        # the dropped ones are short punctuation runs)
+        for k in range(start, end):
+            if not (_CT[ul[k]] & _BAD):
+                sents.append(Sent(start, length, tuple(cur_urls)))
+                break
         cur_urls = []
         sent_start, sent_len = start, length
 
@@ -99,6 +114,11 @@ def split_sents_simple(text: str, u16=None, urls: list[UrlSpan] | None = None) -
         while j >= sent_start + sent_len and (_CT[ch(j)] & _WS):
             j -= 1
         end = j
+        # fast reject: every street-end entry ends with the same two
+        # upper-invariant chars ('E.', 'R.', 'Z.') — skip the back-scan
+        # and string build for the overwhelming majority of dots
+        if (_UP[ch(end - 1)], _UP[ch(end)]) not in _STREET_LAST2:
+            return False
         while j >= sent_start + sent_len and not (_CT[ch(j)] & _WS):
             j -= 1
         if end <= j:

@@ -81,20 +81,37 @@ _TOKEN_MEMO_MAX = 1_000_000
 
 class _SentTokenizer:
     __slots__ = (
-        "u", "ul", "n", "s", "end", "words", "start_index", "cur_len",
+        "u", "ul", "ub", "n", "s", "end", "words", "start_index", "cur_len",
         "is_prev_num", "last_num", "replace_nums", "dot_variant", "cts", "sps",
-        "itp",
+        "itp", "nxt",
     )
 
     def __init__(self, u16, replace_nums: bool, dot_variant: str = "simple",
                  input_type_processor=None):
+        import numpy as np
+
         self.u = u16
         self.ul = u16.tolist()  # per-char access path
+        self.ub = u16.tobytes()  # bytes-slice memo keys (2 bytes per unit)
         # one vectorized LUT gather per text replaces two Python LUT
         # indexes per character inside the scan loops
-        self.cts = xlat.CHARTYPE[u16].tolist()
-        self.sps = xlat.SPECTYPE[u16].tolist()
-        self.n = len(u16)
+        ct_arr = xlat.CHARTYPE[u16]
+        sp_arr = xlat.SPECTYPE[u16]
+        self.cts = ct_arr.tolist()
+        self.sps = sp_arr.tolist()
+        n = len(u16)
+        # nxt[i] = smallest j >= i whose char the FSM must inspect
+        # (whitespace or any SPECTYPE flag); plain letter/digit runs in
+        # between are consumed in one jump instead of one loop iteration
+        # per character — the scan loop is the fused stage's hottest
+        # Python after the round-3 inference rewrite
+        if n:
+            idx = np.where(((ct_arr & _WS) != 0) | (sp_arr != 0),
+                           np.arange(n, dtype=np.int64), n)
+            self.nxt = np.minimum.accumulate(idx[::-1])[::-1].tolist()
+        else:
+            self.nxt = []
+        self.n = n
         self.replace_nums = replace_nums
         # "simple": always unstick dots (WebService path, Tokenizer.cs:732-744)
         # "console": keep a dot in the word; flush immediately when the next
@@ -150,12 +167,12 @@ class _SentTokenizer:
                 self.last_num = None
             self.is_prev_num = False
 
-        key = self.u[start : start + length].tobytes()
+        key = self.ub[2 * start : 2 * (start + length)]
         # the shared memo is only valid for the default processor — a
         # custom input_type_processor computes uncached
         hit = _TOKEN_MEMO.get(key) if self.itp is None else None
         if hit is None:
-            value = xlat.from_u16(self.u, start, length)
+            value = key.decode(xlat._ENC, "surrogatepass")
             upper = xlat.from_u16(_UPN[self.u[start : start + length]], 0, length)
             input_type, extra = (self.itp or get_input_type)(self.ul, start, length)
             upper_uml = normalize_umlautes(upper, upper=True) if extra & EX_HAS_UMLAUTES else None
@@ -230,7 +247,7 @@ class _SentTokenizer:
 
         end = self._trim_end(s, realy_end)
 
-        ul, cts, sps = self.ul, self.cts, self.sps
+        ul, cts, sps, nxt = self.ul, self.cts, self.sps, self.nxt
         i = s
         while i <= end:
             if next_url_start <= i:
@@ -242,6 +259,18 @@ class _SentTokenizer:
                 self.start_index = i + 1
                 self.cur_len = 0
                 i += 1
+                continue
+
+            # consume the whole plain letter/digit run to the next char the
+            # FSM must inspect (capped at sentence end and the next URL)
+            j = nxt[i]
+            if j > i:
+                if j > end + 1:
+                    j = end + 1
+                if j > next_url_start:
+                    j = next_url_start
+                self.cur_len += j - i
+                i = j
                 continue
 
             c = ul[i]

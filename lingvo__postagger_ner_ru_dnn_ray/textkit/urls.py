@@ -231,19 +231,29 @@ def allocate_urls(text: str, u16=None) -> list[UrlSpan]:
     """Scan ``text`` for URL / e-mail spans (AllocateUrls, UrlDetector.cs:234-311)."""
     if u16 is None:
         u16 = xlat.to_u16(text)
-    s = _Scanner(u16)
     out: list[UrlSpan] = []
-    while s.i < s.n:
-        c = s.ul[s.i]
+    # trigger chars ('.' and ':') are sparse — one vectorized scan finds
+    # them and the detector jumps between hits instead of visiting every
+    # character (same FSM, same scanner state transitions)
+    import numpy as np
+
+    hits = np.nonzero((u16 == 0x2E) | (u16 == 0x3A))[0]
+    if len(hits) == 0:
+        return out
+    s = _Scanner(u16)
+    for p in hits.tolist():
+        if p < s.i:
+            continue  # hit consumed by a previously detected span
+        s.i = p
+        c = s.ul[p]
         if c == 0x2E:  # '.'
-            save = s.i
             r = s._by_www()
             if r is None:
-                s.i = save
+                s.i = p
                 r = s._by_fld(10)
             if r is not None:
                 out.append(r)
-        elif c == 0x3A:  # ':'
+        else:  # ':'
             r = s._by_scheme()
             if r is not None:
                 out.append(r)

@@ -195,28 +195,31 @@ SENTCHARTYPE_L: list[int] = SENTCHARTYPE.tolist()
 UPPER_INVARIANT_L: list[int] = UPPER_INVARIANT.tolist()
 
 
+_ENC = "utf-16-le" if sys.byteorder == "little" else "utf-16-be"
+
+
 def to_u16(text: str) -> np.ndarray:
     """View a Python string as .NET-style UTF-16 code units."""
     if not text:
         return np.empty(0, dtype=np.uint16)
-    enc = "utf-16-le" if sys.byteorder == "little" else "utf-16-be"
+    enc = _ENC
     return np.frombuffer(text.encode(enc), dtype=np.uint16)
 
 
 def from_u16(units, start: int, length: int) -> str:
-    enc = "utf-16-le" if sys.byteorder == "little" else "utf-16-be"
+    enc = _ENC
     return np.asarray(units[start : start + length], dtype=np.uint16).tobytes().decode(enc, "surrogatepass")
 
 
 def upper_invariant(text: str) -> str:
     u = to_u16(text)
-    enc = "utf-16-le" if sys.byteorder == "little" else "utf-16-be"
+    enc = _ENC
     return UPPER_INVARIANT[u].astype(np.uint16).tobytes().decode(enc, "surrogatepass")
 
 
 def lower_invariant(text: str) -> str:
     u = to_u16(text)
-    enc = "utf-16-le" if sys.byteorder == "little" else "utf-16-be"
+    enc = _ENC
     return LOWER_INVARIANT[u].astype(np.uint16).tobytes().decode(enc, "surrogatepass")
 
 

@@ -199,7 +199,13 @@ def test_driver_entry_contract(ray_session):
 
 def test_extreme_conv_skew(ray_session, tmp_path):
     """One conversation owns ~95% of all turns (the 10^8-turn-conv story):
-    the job must still partition, aggregate and match the oracle exactly."""
+    the job must still partition, aggregate and match the oracle exactly —
+    AND no single fused-stage task may process a disproportionate share.
+    Work is split by row ranges (sort_turns=False default), never by
+    conv_id, so a giant conversation spreads across tasks; the per-task
+    row stats from ds.stats() pin that property (SURVEY §4)."""
+    import re
+
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq_mod
@@ -207,8 +213,7 @@ def test_extreme_conv_skew(ray_session, tmp_path):
     from lingvo__postagger_ner_ru_dnn_ray.pipelines.oracle import oracle_tables
     from lingvo__postagger_ner_ru_dnn_ray.sources.transcripts import synth_transcripts_table
 
-    base = synth_transcripts_table(400, seed=11).to_pandas()
-    hot = base["conv_id"] != ""  # rename 95% of rows into one hot conversation
+    base = synth_transcripts_table(3000, seed=11).to_pandas()
     idx = base.index[: int(len(base) * 0.95)]
     base.loc[idx, "conv_id"] = "conv-hot"
     base.loc[idx, "turn_idx"] = np.arange(len(idx), dtype="int32")
@@ -220,10 +225,24 @@ def test_extreme_conv_skew(ray_session, tmp_path):
     pq_mod.write_table(tbl, src / "part-0.parquet")
 
     out = tmp_path / "kg_skew"
-    run_kg_job(str(src), str(out), num_partitions=4, tag_concurrency=2)
+    stats: list = []
+    run_kg_job(str(src), str(out), num_partitions=4, tag_concurrency=2,
+               stats_out=stats)
     got = pq_mod.read_table(out / "triples").drop(["part"])
     want = oracle_tables(tbl)["triples"]
     assert _sorted_df(got, TRIPLE_KEYS).equals(_sorted_df(want, TRIPLE_KEYS))
+
+    # fused-stage task balance: max per-task rows <= 2x mean, several tasks
+    triples_stats = dict(stats)["triples"]
+    m = re.search(
+        r"MapBatches\(KgStage\).*?Output rows per task: (\d+) min, (\d+) max, "
+        r"(\d+) mean, (\d+) tasks used",
+        triples_stats, re.S,
+    )
+    assert m, triples_stats[:2000]
+    t_min, t_max, t_mean, n_tasks = map(int, m.groups())
+    assert n_tasks >= 2
+    assert t_max <= 2 * t_mean, (t_min, t_max, t_mean, n_tasks)
 
 
 def test_deep_fused_equals_modular_chain(fixture_path, oracle):
@@ -309,6 +328,18 @@ def test_kg_incremental_merge(ray_session, tmp_path):
         got["part"] = got["part"].astype("int64")
         want["part"] = want["part"].astype("int64")
         assert _sorted_df(got, keys).equals(_sorted_df(want, keys)), t
+
+    # overlapping deltas must raise BEFORE writing anything: run "a" and
+    # the full run share conversations, so merging them would silently
+    # double-count edge weights
+    with pytest.raises(ValueError, match="overlap|processed twice"):
+        merge_kg_runs([str(outs["a"]), str(outs["full"])],
+                      str(tmp_path / "kg_bad"))
+    assert not (tmp_path / "kg_bad" / "edges").exists()
+    # merging the SAME run twice is the same mistake (manifest fast path)
+    with pytest.raises(ValueError, match="overlap|processed twice"):
+        merge_kg_runs([str(outs["a"]), str(outs["a"])],
+                      str(tmp_path / "kg_bad2"))
 
 
 def test_linker_fuzzy_fallback(ray_session):
