@@ -254,6 +254,22 @@ def _graph_q(name: str) -> Callable[[str], Any]:
     return run
 
 
+def _typed_empty_ok(fn: Callable[[str], Any], cols: list[str]) -> Callable[[str], Any]:
+    """Adapt a Dataset-returning query for the driver compare: an all-empty
+    Ray dataset loses its schema under to_pandas(), so substitute a typed
+    int64 empty frame with the declared column names."""
+
+    def run(sf_dir: str):
+        import pandas as pd
+
+        df = fn(sf_dir).to_pandas()
+        if df.shape[1] == 0:
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+        return df
+
+    return run
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Iteration order is deliberate (round-3 lesson: the driver's
     correctness replay recorded a strict 50-entry PREFIX of this dict, so
@@ -303,6 +319,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_bloom_semijoin": _bloom_q("lineitem_bloom_semijoin"),
         "events_type_transitions": d.events_type_transitions,
         "lineitem_bloom_fp_stats": _bloom_q("lineitem_bloom_fp_stats"),
+        # production-threshold LSH row is new in r4 -> group 1; 0.9 on the
+        # synthetic vectors legitimately yields zero pairs, and Ray's
+        # Dataset.to_pandas() drops the schema of an all-empty dataset, so
+        # hand the driver a typed frame (the oracle compares column names)
+        "emb_neardup_lsh_prod": _typed_empty_ok(
+            d.emb_neardup_lsh, ["vec_a", "vec_b"]
+        ),
         # ---- group 2: flagship KG pipeline (oracle = sequential run) ----
         "kg_triples": lambda sf: _kg_table(sf, "triples"),
         "kg_mentions": lambda sf: _kg_table(sf, "mentions"),
@@ -330,7 +353,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_sliding": d.events_window_sliding,
         "doc_bm25_topk": d.doc_bm25_topk,
         "doc_dedup_exact": d.doc_dedup_exact,
-        "emb_neardup_lsh": d.emb_neardup_lsh,
+        # 0.45 = the only threshold with nonzero pairs on the synthetic
+        # vectors (documented low-recall LSH regime); the production 0.9
+        # default is driver-checked as emb_neardup_lsh_prod below
+        "emb_neardup_lsh": lambda sf: d.emb_neardup_lsh(sf, threshold=0.45),
         "events_value_quantiles": d.events_value_quantiles,
         "doc_charlm_ppl": d.doc_charlm_ppl,
         "doc_token_cms_estimate": d.doc_token_cms_estimate,
@@ -469,7 +495,8 @@ def _dataops_sql() -> dict[str, str]:
             "WHERE a.vec_id < b.vec_id AND a.vec_id < 2000 AND b.vec_id < 2000 "
             "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45"
         ),
-        "emb_neardup_lsh": d.emb_neardup_lsh_oracle_sql(),
+        "emb_neardup_lsh": d.emb_neardup_lsh_oracle_sql(threshold=0.45),
+        "emb_neardup_lsh_prod": d.emb_neardup_lsh_oracle_sql(),
         "events_window": (
             "SELECT user_id, event_type, date_trunc('hour', ts) AS window_start, "
             "sum(cast(round(value*100) AS BIGINT))::BIGINT AS sum_cents, "

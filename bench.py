@@ -55,6 +55,15 @@ def _run_scaling() -> None:
             [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
             env=env, capture_output=True, text=True, check=True,
         ).stdout
+        # cooldown between children: drain dirty-page writeback and Ray
+        # teardown from the previous run so it doesn't bleed into the
+        # next sample (measured: a 32-CPU child right after an 8-CPU
+        # child ran 1.3-1.5x slower than one starting clean)
+        try:
+            os.sync()
+        except AttributeError:  # pragma: no cover
+            pass
+        time.sleep(int(os.environ.get("GRAFT_SCALING_COOLDOWN_S", "20")))
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
@@ -66,15 +75,25 @@ def _run_scaling() -> None:
     pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "3"))
     t_lo_s, t_hi_s, effs = [], [], []
     sf_seen = None
-    for _ in range(pairs):
-        r_lo = run(lo)
-        r_hi = run(hi)
+    n_turns = None
+    for k in range(pairs):
+        # ABBA order: alternate which level runs first so a monotone
+        # host-speed drift (cache warming, a steal band ramping) biases
+        # alternate pairs in OPPOSITE directions instead of always
+        # penalizing the level that runs first
+        order = (lo, hi) if k % 2 == 0 else (hi, lo)
+        res = {}
+        for ncpu in order:
+            res[ncpu] = run(ncpu)
+        r_lo, r_hi = res[lo], res[hi]
         sf_seen = r_hi.get("sf")
+        n_turns = r_hi.get("n_turns")
         t_lo_s.append(r_lo["value"])
         t_hi_s.append(r_hi["value"])
         effs.append(round((r_lo["value"] / r_hi["value"]) / (hi / lo), 3))
-    effs_sorted = sorted(effs)
-    median_eff = effs_sorted[len(effs_sorted) // 2]
+    import statistics
+
+    median_eff = round(statistics.median(effs), 3)
     best_eff = round((min(t_lo_s) / min(t_hi_s)) / (hi / lo), 3)
     print(json.dumps({
         "metric": "kg_e2e_scaling",
@@ -82,6 +101,9 @@ def _run_scaling() -> None:
         f"sec_{hi}": min(t_hi_s),
         f"sec_{lo}_samples": t_lo_s,
         f"sec_{hi}_samples": t_hi_s,
+        f"turns_per_sec_{lo}": round(n_turns / min(t_lo_s), 1) if n_turns else None,
+        f"turns_per_sec_{hi}": round(n_turns / min(t_hi_s), 1) if n_turns else None,
+        "n_turns": n_turns,
         "pair_efficiencies": effs,
         "scaling_efficiency": median_eff,  # median of interleaved pairs
         "scaling_efficiency_best": best_eff,

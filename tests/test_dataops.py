@@ -392,10 +392,49 @@ def test_emb_lsh_subset_of_exact(ray_session):
         emb_neardup_pairs,
     )
 
-    lsh = emb_neardup_lsh(SF).to_pandas()
+    lsh = emb_neardup_lsh(SF, threshold=0.45).to_pandas()
     ex = emb_neardup_pairs(SF).to_pandas()
     exact = set(zip(ex["vec_a"], ex["vec_b"]))
     assert all((a, b) in exact for a, b in zip(lsh["vec_a"], lsh["vec_b"]))
+
+
+def test_emb_lsh_recall_at_prod_threshold(ray_session, tmp_path):
+    """At the production threshold (cosine >= 0.9, the emb_neardup_lsh
+    default) hyperplane LSH must recover >= 90% of the true near-dup
+    pairs. Planted pairs: 40 base vectors each duplicated with tiny
+    noise (cosine ~ 0.99) among 300 unrelated vectors."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    from lingvo__postagger_ner_ru_dnn_ray.stages.dataops import emb_neardup_lsh
+
+    rng = np.random.RandomState(42)
+    base = rng.randn(340, 64)
+    vecs = [v / np.linalg.norm(v) for v in base]
+    planted = []
+    for i in range(40):
+        v = base[i] / np.linalg.norm(base[i])
+        w = v + rng.randn(64) * 0.04
+        w = w / np.linalg.norm(w)
+        planted.append(w)
+    all_vecs = np.array(vecs + planted)
+    ids = np.arange(len(all_vecs), dtype=np.int64)
+    pq_mod.write_table(
+        pa.table({"vec_id": ids, "embedding": list(all_vecs)}),
+        tmp_path / "embeddings.parquet",
+    )
+    # exact truth
+    sims = all_vecs @ all_vecs.T
+    ii, jj = np.triu_indices(len(ids), k=1)
+    truth = {(int(a), int(b)) for a, b in zip(ii[sims[ii, jj] >= 0.9],
+                                              jj[sims[ii, jj] >= 0.9])}
+    assert len(truth) >= 35  # the plant worked
+    got = emb_neardup_lsh(str(tmp_path)).to_pandas()
+    found = {(int(a), int(b)) for a, b in zip(got["vec_a"], got["vec_b"])}
+    assert found <= truth  # verification is exact: no false positives
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.9, (recall, len(truth))
 
 
 def test_attribution_asof_edge_semantics(ray_session, tmp_path):
