@@ -18,6 +18,7 @@ here calls ray.init()/ray.shutdown().
 """
 from __future__ import annotations
 
+import os
 import zlib
 from collections.abc import Callable
 from pathlib import Path
@@ -640,7 +641,13 @@ def oracle_sql() -> dict[str, str]:
         emb_ann_ivf_recall,
     )
 
-    sf = "/root/testdata/sf0.01"
+    # The driver's correctness gate runs both sides at sf0.01, so the
+    # kg-family oracle fixtures (sequential-run parquet) and the IVF/PQ
+    # materialization paths default to that scale. GRAFT_ORACLE_SF_DIR
+    # lets local replays validate the same families at other scales
+    # (e.g. scripts/check_correctness.py /root/testdata/sf0.1) — the
+    # driver never sets it, so its behavior is unchanged.
+    sf = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     from lingvo__postagger_ner_ru_dnn_ray.pipelines.validation import (
         seqlabel_f1_oracle_sql,
     )

@@ -522,8 +522,8 @@ def doc_minhash_pairs(sf_dir: str, verify_threshold_pct: int = 1) -> ray.data.Da
        not once per pair).
 
     Emits verified pairs (doc_a, doc_b, jaccard_pct). The SQL oracle
-    assumes no bucket exceeds the cap — true at test scale; at web scale
-    the listing is explicitly truncated and logged."""
+    reproduces the per-bucket cap exactly (row_number over doc_id), so
+    Ray == oracle at ANY scale, including buckets past the cap."""
     rows_per_band = _MH_PERMS // _MH_BANDS
     assert rows_per_band == 2  # bucket packing assumes 2×31-bit rows
 
@@ -594,13 +594,19 @@ sig AS (
 def minhash_oracle_sql(verify_threshold_pct: int = 1) -> str:
     """DuckDB SQL that reproduces doc_minhash_pairs EXACTLY (same md5-based
     shingle hashes, same (a,b) permutation constants, same band equality,
-    same integer Jaccard verification). Assumes no LSH bucket exceeds
-    _LSH_BUCKET_DOC_CAP docs — holds at test scale; at web scale the Ray
-    side truncates deterministically and logs."""
-    return f"""{_mh_band_cte()}, cand AS (
+    same integer Jaccard verification, same per-bucket doc cap — the Ray
+    side keeps the _LSH_BUCKET_DOC_CAP lowest doc ids per (band, bucket),
+    deterministic + logged, and the row_number cap below reproduces it)."""
+    return f"""{_mh_band_cte()}, bandc AS (
+  SELECT doc_id, band, bucket FROM (
+    SELECT doc_id, band, bucket, row_number() OVER (
+      PARTITION BY band, bucket ORDER BY doc_id) AS rn
+    FROM (SELECT DISTINCT doc_id, band, bucket FROM band))
+  WHERE rn <= {_LSH_BUCKET_DOC_CAP}
+), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket
-                          AND a.doc_id < b.doc_id
+  FROM bandc a JOIN bandc b ON a.band = b.band AND a.bucket = b.bucket
+                            AND a.doc_id < b.doc_id
 )
 SELECT c.doc_a, c.doc_b,
   100 * len(list_intersect(sa.sh, sb.sh)) //
@@ -808,10 +814,17 @@ WITH w AS (
     ((((simhash::HUGEINT + 9223372036854775808::HUGEINT)
        // (1::HUGEINT << (c * 16))) % 65536))::BIGINT AS chunk_val
   FROM sh, generate_series(0, {_SIMHASH_CHUNKS - 1}) g(c)
+), capped AS (
+  -- the Ray side caps each bucket at _LSH_BUCKET_DOC_CAP docs, lowest ids
+  -- win (deterministic + logged); reproduce the cap exactly
+  SELECT doc_id, simhash, chunk_idx, chunk_val FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY chunk_idx, chunk_val ORDER BY doc_id) AS rn
+    FROM chunks) WHERE rn <= {_LSH_BUCKET_DOC_CAP}
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.simhash AS sa, b.simhash AS sb
-  FROM chunks a JOIN chunks b
+  FROM capped a JOIN capped b
     ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
    AND a.doc_id < b.doc_id
 )
@@ -1131,9 +1144,14 @@ bits AS (
   SELECT vec_id, j // {per} AS chunk_idx,
          sum(bit * (1 << (j % {per})))::BIGINT AS chunk_val
   FROM bits GROUP BY vec_id, j // {per}
+), capped AS (
+  SELECT vec_id, chunk_idx, chunk_val FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY chunk_idx, chunk_val ORDER BY vec_id) AS rn
+    FROM chunks) WHERE rn <= {_LSH_BUCKET_DOC_CAP}
 ), cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM chunks a JOIN chunks b
+  FROM capped a JOIN capped b
     ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
    AND a.vec_id < b.vec_id
 )

@@ -7,6 +7,7 @@ column names, order-insensitive values). Usage:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -14,6 +15,9 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+# validate the kg-family / IVF / PQ oracles at the replay scale too
+# (the driver's gate leaves this unset and pins sf0.01)
+os.environ.setdefault("GRAFT_ORACLE_SF_DIR", SF_DIR)
 ONLY = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 

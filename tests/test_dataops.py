@@ -358,6 +358,44 @@ def test_minhash_giant_duplicate_cluster_bounded(ray_session, tmp_path):
     assert sorted(kept) == [5, 7, 100]  # min of the cluster + the two singles
 
 
+def test_simhash_pairs_oracle_models_cap(ray_session, tmp_path):
+    """Past the per-bucket doc cap the SQL oracle must reproduce the Ray
+    side's deterministic lowest-ids-win truncation EXACTLY (found by the
+    sf0.1 full replay: a 291-doc chunk bucket lost 2 pairs vs the uncapped
+    oracle). 300 identical docs put every chunk bucket past the 256 cap."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    from lingvo__postagger_ner_ru_dnn_ray.stages.dataops import (
+        _LSH_BUCKET_DOC_CAP,
+        SIMHASH_NEARDUP_ORACLE_SQL,
+        doc_simhash_neardup_pairs,
+    )
+
+    n = _LSH_BUCKET_DOC_CAP + 44  # 300 docs, one giant identical cluster
+    text = "same words in every document of this oversized cluster row"
+    ids = list(range(1000, 1000 + n)) + [3]
+    texts = [text] * n + ["unrelated filler alpha beta gamma delta"]
+    pq_mod.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}),
+        tmp_path / "documents.parquet",
+    )
+
+    got = doc_simhash_neardup_pairs(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    exp = con.execute(SIMHASH_NEARDUP_ORACLE_SQL).df()
+    cap_pairs = _LSH_BUCKET_DOC_CAP * (_LSH_BUCKET_DOC_CAP - 1) // 2
+    assert len(exp) == cap_pairs  # the oracle caps too
+    assert set(zip(got.doc_a, got.doc_b)) == set(zip(exp.doc_a, exp.doc_b))
+    # deterministic lowest-ids-win on both sides
+    assert got["doc_b"].max() == 1000 + _LSH_BUCKET_DOC_CAP - 1
+
+
 def test_ivf_centroid_training_distributed(ray_session, monkeypatch):
     """IVF centroid training must be the distributed partial-sum k-means:
     the only driver materializations allowed are bounded k-row pulls
