@@ -358,6 +358,29 @@ def test_minhash_giant_duplicate_cluster_bounded(ray_session, tmp_path):
     assert sorted(kept) == [5, 7, 100]  # min of the cluster + the two singles
 
 
+def test_typed_empty_ok_wrapper():
+    """The driver-compare adapter must substitute a typed int64 frame when
+    a legitimately-empty Ray result loses its schema (zero-block dataset
+    under to_pandas), and pass non-empty results through untouched."""
+    import pandas as pd
+
+    import __ray_entry__ as e
+
+    class _FakeEmpty:
+        def to_pandas(self):
+            return pd.DataFrame()
+
+    class _FakeFull:
+        def to_pandas(self):
+            return pd.DataFrame({"vec_a": [1], "vec_b": [2]})
+
+    out = e._typed_empty_ok(lambda sf: _FakeEmpty(), ["vec_a", "vec_b"])("x")
+    assert list(out.columns) == ["vec_a", "vec_b"]
+    assert [str(t) for t in out.dtypes] == ["int64", "int64"] and len(out) == 0
+    out2 = e._typed_empty_ok(lambda sf: _FakeFull(), ["vec_a", "vec_b"])("x")
+    assert len(out2) == 1 and list(out2.columns) == ["vec_a", "vec_b"]
+
+
 def test_simhash_pairs_oracle_models_cap(ray_session, tmp_path):
     """Past the per-bucket doc cap the SQL oracle must reproduce the Ray
     side's deterministic lowest-ids-win truncation EXACTLY (found by the
