@@ -191,6 +191,34 @@ def _kg_pos_label_counts(sf_dir: str):
     return part.groupby("pos").aggregate(Sum("n_tokens", alias_name="n_tokens"))
 
 
+def _kg_edges_artifact(sf_dir: str):
+    """kg edges computed through the ARTIFACT deployment path: KgStage
+    ACTOR POOL, each actor loading the sha256-verified .npz weights once
+    in __init__ — the reference's model-shipped-as-file layout
+    (ConcurrentFactory.cs:56-108 / BaseSeq2SeqFramework.cs:204-228). The
+    oracle is the same edges table as kg_edges: the artifact round-trip
+    is exact, so the two weight sources must produce identical graphs."""
+    import ray
+
+    from lingvo__postagger_ner_ru_dnn_ray.model.artifact import ensure_default_artifacts
+    from lingvo__postagger_ner_ru_dnn_ray.pipelines.kg import (
+        fused_linked_triples,
+        read_transcripts,
+    )
+    from lingvo__postagger_ner_ru_dnn_ray.sources.transcripts import transcripts_for_sf
+    from lingvo__postagger_ner_ru_dnn_ray.stages.conflate import conflate_edges
+
+    adir = ensure_default_artifacts()
+    pool = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+    tri = fused_linked_triples(
+        read_transcripts(transcripts_for_sf(sf_dir)),
+        concurrency=(2, pool),
+        batch_size=256,
+        artifact_dir=adir,
+    )
+    return conflate_edges(tri)
+
+
 def _media_features(sf_dir: str):
     from lingvo__postagger_ner_ru_dnn_ray.stages.multimodal import media_features
 
@@ -210,10 +238,25 @@ def _ivf_dir(sf_dir: str) -> str:
     return f"/tmp/graft_data/ivf_{tag}_{_code_fingerprint()}"
 
 
+def _ivf_cent_dir(sf_dir: str) -> str:
+    """Pinned IVF centroid fixture for this scale — the shared state the
+    emb_ann_ivf DIRECT hash oracle (ann_ivf_oracle_sql) derives from."""
+    tag = Path(sf_dir).name
+    return f"/tmp/graft_data/ivf_cent_{tag}_{_code_fingerprint()}"
+
+
+def _emb_ann_ivf(sf_dir: str):
+    from lingvo__postagger_ner_ru_dnn_ray.stages.dataops import emb_ann_ivf
+
+    return emb_ann_ivf(sf_dir, centroids_path=_ivf_cent_dir(sf_dir))
+
+
 def _emb_ann_ivf_recall(sf_dir: str):
     from lingvo__postagger_ner_ru_dnn_ray.stages.dataops import emb_ann_ivf_recall
 
-    return emb_ann_ivf_recall(sf_dir, ivf_path=_ivf_dir(sf_dir))
+    return emb_ann_ivf_recall(
+        sf_dir, ivf_path=_ivf_dir(sf_dir), centroids_path=_ivf_cent_dir(sf_dir)
+    )
 
 
 def _pq_dir(sf_dir: str) -> str:
@@ -223,10 +266,25 @@ def _pq_dir(sf_dir: str) -> str:
     return f"/tmp/graft_data/pq_{tag}_{_code_fingerprint()}"
 
 
+def _pq_fix_dir(sf_dir: str) -> str:
+    """Pinned PQ codebook + ADC-table fixture — the shared state the
+    emb_pq_topk DIRECT hash oracle (pq_topk_oracle_sql) derives from."""
+    tag = Path(sf_dir).name
+    return f"/tmp/graft_data/pq_fix_{tag}_{_code_fingerprint()}"
+
+
+def _emb_pq_topk(sf_dir: str):
+    from lingvo__postagger_ner_ru_dnn_ray.stages.dataops import emb_pq_topk
+
+    return emb_pq_topk(sf_dir, fixture_path=_pq_fix_dir(sf_dir))
+
+
 def _emb_pq_recall(sf_dir: str):
     from lingvo__postagger_ner_ru_dnn_ray.stages.dataops import emb_pq_recall
 
-    return emb_pq_recall(sf_dir, pq_path=_pq_dir(sf_dir))
+    return emb_pq_recall(
+        sf_dir, pq_path=_pq_dir(sf_dir), fixture_path=_pq_fix_dir(sf_dir)
+    )
 
 
 def _interval_q(sf_dir: str):
@@ -273,26 +331,88 @@ def _typed_empty_ok(fn: Callable[[str], Any], cols: list[str]) -> Callable[[str]
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Iteration order is deliberate (round-3 lesson: the driver's
-    correctness replay recorded a strict 50-entry PREFIX of this dict, so
-    order is coverage policy, not cosmetics):
+    correctness replay records a strict 50-entry PREFIX of this dict, so
+    order is coverage policy, not cosmetics). Round-5 ordering:
 
-    1. the 33 queries that had no CORRECTNESS_r03 row, cheapest first
-       (all were green in the local replay; they need a driver verdict);
-    2. the flagship KG family;
-    3. everything already driver-green in r3, cheapest first, so any
-       count/time cap cuts only queries that already have a recorded
-       verdict.
+    1. queries whose operator CODE or ORACLE changed after their last
+       driver verdict, cheapest first — the r4 cap-exact oracle rewrites
+       (minhash/simhash/LSH), the r4 CC-contraction fix (graph family),
+       the r5 IVF/PQ direct hash oracles, the new artifact-path variant,
+       and the kg family (its fused stage gained opt-in memo counters in
+       r5). Their standing rows are r3-era or absent; this converts the
+       r4/r5 changes from locally-replayed to driver-adjudicated.
+    2. queries whose standing verdict is r3-era but whose code/oracle is
+       unchanged since — refreshed while the budget allows.
+    3. everything driver-green in r4 (the freshest verdicts), cheapest
+       first, so any count/time cap cuts only queries that already have a
+       current recorded verdict.
     """
     from lingvo__postagger_ner_ru_dnn_ray.stages import dataops as d
 
     return {
-        # ---- group 1: no r3 driver verdict yet (cheap -> expensive) ----
+        # ---- group 1: code/oracle changed since last driver verdict ----
+        # 0.45 = the only threshold with nonzero pairs on the synthetic
+        # vectors (documented low-recall LSH regime); the production 0.9
+        # default is driver-checked as emb_neardup_lsh_prod in group 3
+        "emb_neardup_lsh": lambda sf: d.emb_neardup_lsh(sf, threshold=0.45),
+        "doc_simhash_neardup_pairs": d.doc_simhash_neardup_pairs,
+        "emb_ann_ivf": _emb_ann_ivf,
+        "emb_pq_topk": _emb_pq_topk,
+        "emb_ann_ivf_recall": _emb_ann_ivf_recall,
+        "emb_pq_recall": _emb_pq_recall,
+        "doc_minhash_pairs": d.doc_minhash_pairs,
+        "doc_dedup_minhash": d.doc_dedup_minhash,
+        "doc_dedup_cc": _graph_q("doc_dedup_cc"),
+        "doc_dup_components": _graph_q("doc_dup_components"),
+        "doc_dup_triangles": _graph_q("doc_dup_triangles"),
+        "doc_dup_pagerank": _graph_q("doc_dup_pagerank"),
+        "kg_edges_artifact": _kg_edges_artifact,
+        "kg_triples": lambda sf: _kg_table(sf, "triples"),
+        "kg_mentions": lambda sf: _kg_table(sf, "mentions"),
+        "kg_edges": lambda sf: _kg_table(sf, "edges"),
+        "kg_nodes": lambda sf: _kg_table(sf, "nodes"),
+        "kg_pos_label_counts": _kg_pos_label_counts,
+        "kg_sentence_len_histogram": _kg_sentence_len_histogram,
+        "seqlabel_f1": _seqlabel_f1,
+        # ---- group 2: r3-era verdict, unchanged since (refresh) ----
+        "doc_token_cms_registers": d.doc_token_cms_registers,
+        "doc_token_hll_registers": d.doc_token_hll_registers,
+        "doc_token_freq": d.doc_token_freq,
+        "doc_decontaminate": d.doc_decontaminate,
+        "emb_ann_topk": d.emb_ann_topk,
+        "emb_neardup_pairs": d.emb_neardup_pairs,
+        "events_window_sliding": d.events_window_sliding,
+        "doc_bm25_topk": d.doc_bm25_topk,
+        "doc_dedup_exact": d.doc_dedup_exact,
+        "events_value_quantiles": d.events_value_quantiles,
+        "doc_charlm_ppl": d.doc_charlm_ppl,
+        "doc_token_cms_estimate": d.doc_token_cms_estimate,
+        "doc_token_heavy_hitters": d.doc_token_heavy_hitters,
+        "events_window": d.events_window,
+        "media_features": _media_features,
+        "doc_tfidf_topk": d.doc_tfidf_topk,
+        "events_sessions": d.events_sessions,
+        "doc_dup_spans": d.doc_dup_spans,
+        "events_user_cumsum": d.events_user_cumsum,
+        "doc_jaccard_pairs": d.doc_jaccard_pairs,
+        "doc_clean_corpus": d.doc_clean_corpus,
+        "doc_jaccard_join_prefix": d.doc_jaccard_join_prefix,
+        # ---- group 3: driver-green in r4 (cheap -> expensive) ----
         "doc_sample": d.doc_sample,
         "doc_sample_stratified": d.doc_sample_stratified,
         "doc_table_checksum": d.doc_table_checksum,
         "lineitem_pricing": d.lineitem_pricing,
         "lineitem_rollup": d.lineitem_rollup,
         "part_topk": d.part_topk,
+        "doc_quality": d.doc_quality,
+        "doc_token_count": d.doc_token_count,
+        "doc_fingerprint": d.doc_fingerprint,
+        "doc_langid": d.doc_langid,
+        "doc_len_histogram": d.doc_len_histogram,
+        "doc_simhash": d.doc_simhash,
+        "doc_token_hll_estimate": d.doc_token_hll_estimate,
+        "media_stats": _media_stats,
+        "doc_rep_ngram_signals": d.doc_rep_ngram_signals,
         "doc_bpe_pair_counts": d.doc_bpe_pair_counts,
         "events_daily_hll_registers": d.events_daily_hll_registers,
         "events_props_extract": d.events_props_extract,
@@ -320,68 +440,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_bloom_semijoin": _bloom_q("lineitem_bloom_semijoin"),
         "events_type_transitions": d.events_type_transitions,
         "lineitem_bloom_fp_stats": _bloom_q("lineitem_bloom_fp_stats"),
-        # production-threshold LSH row is new in r4 -> group 1; 0.9 on the
-        # synthetic vectors legitimately yields zero pairs, and Ray's
-        # Dataset.to_pandas() drops the schema of an all-empty dataset, so
-        # hand the driver a typed frame (the oracle compares column names)
+        # 0.9 on the synthetic vectors legitimately yields zero pairs, and
+        # Ray's Dataset.to_pandas() drops the schema of an all-empty
+        # dataset, so hand the driver a typed frame (the oracle compares
+        # column names)
         "emb_neardup_lsh_prod": _typed_empty_ok(
             d.emb_neardup_lsh, ["vec_a", "vec_b"]
         ),
-        # ---- group 2: flagship KG pipeline (oracle = sequential run) ----
-        "kg_triples": lambda sf: _kg_table(sf, "triples"),
-        "kg_mentions": lambda sf: _kg_table(sf, "mentions"),
-        "kg_edges": lambda sf: _kg_table(sf, "edges"),
-        "kg_nodes": lambda sf: _kg_table(sf, "nodes"),
-        "kg_pos_label_counts": _kg_pos_label_counts,
-        "kg_sentence_len_histogram": _kg_sentence_len_histogram,
-        "seqlabel_f1": _seqlabel_f1,
-        # ---- group 3: r3-driver-green already (cheap -> expensive) ----
-        "doc_quality": d.doc_quality,
-        "doc_token_count": d.doc_token_count,
-        "doc_fingerprint": d.doc_fingerprint,
-        "doc_langid": d.doc_langid,
-        "doc_len_histogram": d.doc_len_histogram,
-        "doc_simhash": d.doc_simhash,
-        "doc_token_hll_estimate": d.doc_token_hll_estimate,
-        "media_stats": _media_stats,
-        "doc_rep_ngram_signals": d.doc_rep_ngram_signals,
-        "doc_token_cms_registers": d.doc_token_cms_registers,
-        "doc_token_freq": d.doc_token_freq,
-        "doc_token_hll_registers": d.doc_token_hll_registers,
-        "emb_neardup_pairs": d.emb_neardup_pairs,
-        "doc_decontaminate": d.doc_decontaminate,
-        "emb_ann_topk": d.emb_ann_topk,
-        "events_window_sliding": d.events_window_sliding,
-        "doc_bm25_topk": d.doc_bm25_topk,
-        "doc_dedup_exact": d.doc_dedup_exact,
-        # 0.45 = the only threshold with nonzero pairs on the synthetic
-        # vectors (documented low-recall LSH regime); the production 0.9
-        # default is driver-checked as emb_neardup_lsh_prod below
-        "emb_neardup_lsh": lambda sf: d.emb_neardup_lsh(sf, threshold=0.45),
-        "events_value_quantiles": d.events_value_quantiles,
-        "doc_charlm_ppl": d.doc_charlm_ppl,
-        "doc_token_cms_estimate": d.doc_token_cms_estimate,
-        "doc_token_heavy_hitters": d.doc_token_heavy_hitters,
-        "doc_simhash_neardup_pairs": d.doc_simhash_neardup_pairs,
-        "events_window": d.events_window,
-        "media_features": _media_features,
-        "doc_tfidf_topk": d.doc_tfidf_topk,
-        "events_sessions": d.events_sessions,
-        "doc_dup_spans": d.doc_dup_spans,
-        "emb_ann_ivf": d.emb_ann_ivf,
-        "emb_pq_topk": d.emb_pq_topk,
-        "events_user_cumsum": d.events_user_cumsum,
-        "emb_ann_ivf_recall": _emb_ann_ivf_recall,
-        "emb_pq_recall": _emb_pq_recall,
-        "doc_dedup_cc": _graph_q("doc_dedup_cc"),
-        "doc_minhash_pairs": d.doc_minhash_pairs,
-        "doc_dedup_minhash": d.doc_dedup_minhash,
-        "doc_dup_components": _graph_q("doc_dup_components"),
-        "doc_jaccard_pairs": d.doc_jaccard_pairs,
-        "doc_dup_triangles": _graph_q("doc_dup_triangles"),
-        "doc_dup_pagerank": _graph_q("doc_dup_pagerank"),
-        "doc_clean_corpus": d.doc_clean_corpus,
-        "doc_jaccard_join_prefix": d.doc_jaccard_join_prefix,
     }
 
 
@@ -390,6 +455,9 @@ def _kg_sql(orc: str) -> dict[str, str]:
         "kg_triples": f"SELECT * FROM read_parquet('{orc}/triples.parquet')",
         "kg_mentions": f"SELECT * FROM read_parquet('{orc}/mentions.parquet')",
         "kg_edges": f"SELECT * FROM read_parquet('{orc}/edges.parquet')",
+        # artifact-loaded actor pool must reproduce the lexicon-weights
+        # graph exactly (save/load round trip is bitwise on the weights)
+        "kg_edges_artifact": f"SELECT * FROM read_parquet('{orc}/edges.parquet')",
         "kg_nodes": f"SELECT * FROM read_parquet('{orc}/nodes.parquet')",
         "kg_pos_label_counts": (
             "SELECT pos, count(*)::BIGINT AS n_tokens FROM ("
@@ -661,15 +729,31 @@ def oracle_sql() -> dict[str, str]:
         f"FROM read_parquet('{orc}/sentences.parquet') GROUP BY len(\"values\") // 10"
     )
     ivf_path = _ivf_dir(sf)
-    emb_ann_ivf_recall(sf, ivf_path=ivf_path).count()  # materialize once
+    emb_ann_ivf_recall(
+        sf, ivf_path=ivf_path, centroids_path=_ivf_cent_dir(sf)
+    ).count()  # materialize once
     sql["emb_ann_ivf_recall"] = ann_ivf_recall_oracle_sql(ivf_path)
+    # DIRECT hash oracles for the IVF / PQ searches themselves (round-5):
+    # pin the trained centroids / codebooks+ADC-table once, re-derive the
+    # full search in SQL from the same fixture
     from lingvo__postagger_ner_ru_dnn_ray.stages.dataops import (
+        ann_ivf_oracle_sql,
         emb_pq_recall,
+        materialize_ivf_centroids,
+        materialize_pq_fixture,
         pq_recall_oracle_sql,
+        pq_topk_oracle_sql,
     )
 
+    materialize_ivf_centroids(sf, _ivf_cent_dir(sf))
+    sql["emb_ann_ivf"] = ann_ivf_oracle_sql(_ivf_cent_dir(sf))
+    materialize_pq_fixture(sf, _pq_fix_dir(sf))
+    sql["emb_pq_topk"] = pq_topk_oracle_sql(_pq_fix_dir(sf))
+
     pq_path = _pq_dir(sf)
-    emb_pq_recall(sf, pq_path=pq_path).count()  # materialize once
+    emb_pq_recall(
+        sf, pq_path=pq_path, fixture_path=_pq_fix_dir(sf)
+    ).count()  # materialize once
     sql["emb_pq_recall"] = pq_recall_oracle_sql(pq_path)
     from lingvo__postagger_ner_ru_dnn_ray.stages.multimodal import (
         ensure_media_parquet,

@@ -257,37 +257,68 @@ def _assert_disjoint_runs(run_dirs: list[str]) -> None:
     """Raise if two delta runs share a conversation — merged edge weights
     would silently double-count. Two layers:
 
-    1. manifest fast path: identical triples config hashes (same input +
-       config processed twice) raise without touching data;
+    1. manifest fast path: identical triples config hashes AND identical
+       per-partition content stats (rows + file layout from the
+       manifests) raise without touching data — the same input truly
+       processed twice. A config-hash collision with DIFFERENT content
+       (two disjoint drops staged through the same overwritten input
+       path share {v, partitions, path}) only warns and falls through to
+       the exact check, which decides;
     2. exact check: column-pruned read of each run's triples ``conv_id``
        only, per-batch distinct partials tagged with their run index,
        one salted exchange over O(distinct convs x runs) rows, raise on
        any conv seen in >= 2 runs. No driver pull beyond a 5-row sample
-       of the violations.
+       of the violations. A run dir whose triples/ directory is absent
+       (pruned fact log / edges-only run) is skipped with a warning —
+       the merge itself only reads edges/.
     """
     import json as _json
+    import warnings
 
     import numpy as np
     import pandas as pd
 
-    seen_cfg: dict[str, str] = {}
+    seen_cfg: dict[str, tuple[str, str]] = {}  # cfg_hash -> (dir, content_fp)
     for d in run_dirs:
+        sig: list = []
+        chs: set[str] = set()
         for mpath in sorted(Path(d).glob("triples/part=*/" + mf.MANIFEST_NAME)):
             try:
-                ch = _json.loads(mpath.read_text()).get("config_hash")
+                m = _json.loads(mpath.read_text())
             except (OSError, _json.JSONDecodeError):
                 continue
-            if ch and ch in seen_cfg and seen_cfg[ch] != d:
-                raise ValueError(
-                    f"merge_kg_runs: runs {seen_cfg[ch]!r} and {d!r} carry the same "
-                    f"triples config hash {ch} — the same input was processed twice; "
-                    "deltas must cover disjoint conversation sets"
+            if m.get("config_hash"):
+                chs.add(m["config_hash"])
+                sig.append([m.get("partition"), m.get("rows"),
+                            [[f.get("name"), f.get("rows")] for f in m.get("files", [])]])
+        fp = mf.config_hash({"sig": sig})
+        for ch in chs:
+            if ch in seen_cfg and seen_cfg[ch][0] != d:
+                if seen_cfg[ch][1] == fp:
+                    raise ValueError(
+                        f"merge_kg_runs: runs {seen_cfg[ch][0]!r} and {d!r} carry the "
+                        f"same triples config hash {ch} and identical content stats — "
+                        "the same input was processed twice; deltas must cover "
+                        "disjoint conversation sets"
+                    )
+                warnings.warn(
+                    f"merge_kg_runs: runs {seen_cfg[ch][0]!r} and {d!r} share triples "
+                    f"config hash {ch} but differ in content (same staging path "
+                    "reused?) — relying on the exact conv_id overlap check",
+                    stacklevel=2,
                 )
-            if ch:
-                seen_cfg[ch] = d
+            else:
+                seen_cfg[ch] = (d, fp)
 
     parts: list[ray.data.Dataset] = []
     for i, d in enumerate(run_dirs):
+        if not Path(d, "triples").exists():
+            warnings.warn(
+                f"merge_kg_runs: {d!r} has no triples/ directory (edges-only or "
+                "pruned run) — skipping its exact conv_id overlap check",
+                stacklevel=2,
+            )
+            continue
         ds = ray.data.read_parquet(f"{d}/triples", columns=["conv_id"])
 
         def distinct_tag(batch: pa.Table, run: int = i) -> pa.Table:
@@ -302,6 +333,8 @@ def _assert_disjoint_runs(run_dirs: list[str]) -> None:
             )
 
         parts.append(ds.map_batches(distinct_tag, batch_format="pyarrow"))
+    if len(parts) < 2:
+        return  # 0/1 checkable runs: nothing can overlap
     tagged = parts[0]
     for p_ in parts[1:]:
         tagged = tagged.union(p_)
@@ -326,7 +359,8 @@ def _assert_disjoint_runs(run_dirs: list[str]) -> None:
 
 
 def merge_kg_runs(
-    run_dirs: list[str], out_dir: str, *, check_overlap: bool = True
+    run_dirs: list[str], out_dir: str, *, check_overlap: bool = True,
+    overwrite: bool = False,
 ) -> dict:
     """Incremental KG maintenance: merge the AGGREGATED graph views of
     several delta runs (disjoint conversation sets — e.g. daily transcript
@@ -348,10 +382,29 @@ def merge_kg_runs(
     hash(conv_id), and conversation-disjoint deltas never produce the
     same triple twice, so their union needs no rewrite.
 
+    ``out_dir`` must not already hold edges/ or nodes/ partitions:
+    write_parquet(partition_cols=) APPENDS files beside existing ones, so
+    merging into a previous merge's directory would silently double the
+    read-back view. Non-empty targets raise; ``overwrite=True`` replaces
+    them atomically-enough (rmtree then write).
+
     This merged-view-equals-one-shot-run identity is pinned by
     tests/test_pipeline_ray.py::test_kg_incremental_merge."""
+    import shutil
+
     from ..stages.conflate import _salted_final_agg
 
+    for t in ("edges", "nodes"):
+        tdir = Path(out_dir) / t
+        if tdir.exists() and any(tdir.iterdir()):
+            if not overwrite:
+                raise FileExistsError(
+                    f"merge_kg_runs: {tdir} already contains output — a hive "
+                    "write would append beside it and double-count the merged "
+                    "view. Pass overwrite=True to replace, or merge into a "
+                    "fresh out_dir."
+                )
+            shutil.rmtree(tdir)
     if check_overlap:
         _assert_disjoint_runs(run_dirs)
     reads = [ray.data.read_parquet(f"{d}/edges") for d in run_dirs]

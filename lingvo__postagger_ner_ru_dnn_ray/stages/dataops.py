@@ -1464,15 +1464,58 @@ def _ivf_centroids_distributed(
     return c
 
 
-def emb_ann_ivf(sf_dir: str) -> ray.data.Dataset:
+def materialize_ivf_centroids(sf_dir: str, path: str) -> np.ndarray:
+    """Train the IVF centroids once per (scale, code version) and pin them
+    to Parquet (cluster, centroid). The materialized file is the SHARED
+    FIXTURE of the emb_ann_ivf hash oracle: the Ray query and the SQL
+    oracle both run the bucketed SEARCH from these exact float64 values,
+    independently — the same trust model as the kg-family oracle tables
+    (training state is a fixture; the distributed search is what the
+    driver hash-checks)."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        emb = ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        cent = _ivf_centroids_distributed(emb, _IVF_CLUSTERS)
+        os.makedirs(path, exist_ok=True)
+        t = pa.Table.from_arrays(
+            [pa.array(np.arange(len(cent), dtype=np.int64)),
+             pa.array([r.tolist() for r in cent], pa.list_(pa.float64()))],
+            names=["cluster", "centroid"],
+        )
+        _pq.write_table(t, f"{path}/centroids.parquet")
+        open(f"{path}/_SUCCESS", "w").close()
+    t = _pq.read_table(f"{path}/centroids.parquet")
+    order = np.argsort(np.asarray(t.column("cluster")))
+    return np.stack(
+        [np.asarray(t.column("centroid")[int(i)].as_py(), dtype=np.float64) for i in order]
+    )
+
+
+def emb_ann_ivf(sf_dir: str, centroids_path: str | None = None) -> ray.data.Dataset:
     """IVF top-k: corpus vectors bucketed by nearest centroid; each query
     probes its _IVF_NPROBE nearest buckets only. Centroids + query matrix
     broadcast once; per-batch work is two numpy matmuls over the probed
-    subset. Approximate (recall tested vs the brute-force baseline)."""
+    subset. Approximate (recall tested vs the brute-force baseline).
+
+    ``centroids_path``: materialize-once fixture dir (see
+    materialize_ivf_centroids) — with it, the result is a pure function of
+    (embeddings, pinned centroids) and ann_ivf_oracle_sql() hash-checks the
+    whole search in SQL; without it, centroids are retrained in-process."""
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     # centroids trained DISTRIBUTED (partial-sum k-means over the whole
     # table; only k rows ever reach the driver), then broadcast once
-    cent = _ivf_centroids_distributed(emb, _IVF_CLUSTERS)
+    if centroids_path is not None:
+        cent = materialize_ivf_centroids(sf_dir, centroids_path)
+    else:
+        cent = _ivf_centroids_distributed(emb, _IVF_CLUSTERS)
 
     qdf = emb.filter(expr=f"vec_id < {_ANN_N_QUERIES}").to_pandas()
     Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
@@ -1499,7 +1542,10 @@ def emb_ann_ivf(sf_dir: str) -> ray.data.Dataset:
                 sims = Qn[qi] @ Mn[sel].T
                 vs = vkeep[sel]
                 k = min(_ANN_K, len(vs))
-                idx = np.argsort(-sims, kind="stable")[:k]
+                # (sim desc, vec_id asc) — the same total order the final
+                # combine and the SQL oracle use, so the per-batch cut is
+                # independent of row order inside the block
+                idx = np.lexsort((vs, -sims))[:k]
                 for j in idx:
                     q_out.append(int(qids[qi]))
                     n_out.append(int(vs[j]))
@@ -1522,14 +1568,16 @@ def emb_ann_ivf(sf_dir: str) -> ray.data.Dataset:
     return cand.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
-def emb_ann_ivf_recall(sf_dir: str, ivf_path: str | None = None) -> ray.data.Dataset:
+def emb_ann_ivf_recall(
+    sf_dir: str, ivf_path: str | None = None, centroids_path: str | None = None
+) -> ray.data.Dataset:
     """Recall@k of the IVF path against the exact brute-force top-k,
     computed distributed: both result sets are joined per query and the
     hit count emitted as (query_id, n_hits, k). The driver oracle reads
     the MATERIALIZED ivf output (written here, deterministically) and
     recomputes the exact top-k independently in SQL — so the recall
     numbers are hash-checked against an independent exact baseline."""
-    ivf = emb_ann_ivf(sf_dir)
+    ivf = emb_ann_ivf(sf_dir, centroids_path=centroids_path)
     if ivf_path is not None:
         import os
         import shutil
@@ -1586,6 +1634,44 @@ SELECT e.query_id, count(i.neighbor_id)::BIGINT AS n_hits, {_ANN_K}::BIGINT AS k
 FROM exact e LEFT JOIN ivf i
   ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
 GROUP BY e.query_id
+"""
+
+
+def ann_ivf_oracle_sql(centroids_path: str) -> str:
+    """DIRECT value oracle for emb_ann_ivf: the full IVF search re-derived
+    in SQL from the materialized centroids — corpus-vector bucket
+    assignment (argmax inner product; numpy argmax takes the FIRST max, so
+    ties break cluster-ascending), per-query probe-set selection, and the
+    cosine top-k inside probed buckets. Ordering by raw inner product
+    equals the Ray side's normalized-vector dot ordering (positive scale
+    per fixed vector)."""
+    return f"""
+WITH cent AS (
+  SELECT cluster, centroid FROM read_parquet('{centroids_path}/centroids.parquet')
+), assign AS (
+  SELECT e.vec_id, c.cluster,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           list_inner_product(e.embedding::DOUBLE[], c.centroid) DESC, c.cluster) AS rn
+  FROM embeddings e, cent c WHERE e.vec_id >= {_ANN_N_QUERIES}
+), corpus AS (
+  SELECT vec_id, cluster FROM assign WHERE rn = 1
+), probes AS (
+  SELECT q.vec_id AS query_id, c.cluster,
+         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           list_inner_product(q.embedding::DOUBLE[], c.centroid) DESC, c.cluster) AS rn
+  FROM embeddings q, cent c WHERE q.vec_id < {_ANN_N_QUERIES}
+), probed AS (
+  SELECT query_id, cluster FROM probes WHERE rn <= {_IVF_NPROBE}
+)
+SELECT p.query_id,
+       row_number() OVER (PARTITION BY p.query_id ORDER BY
+         list_cosine_similarity(q.embedding, e.embedding) DESC, co.vec_id) AS rank,
+       co.vec_id AS neighbor_id
+FROM probed p
+JOIN corpus co ON co.cluster = p.cluster
+JOIN embeddings q ON q.vec_id = p.query_id
+JOIN embeddings e ON e.vec_id = co.vec_id
+QUALIFY rank <= {_ANN_K}
 """
 
 
@@ -4643,40 +4729,121 @@ def _pq_codebooks_distributed(
     return cb
 
 
-_PQ_RERANK = 32  # ADC shortlist size per (query, batch) before exact rerank
+_PQ_RERANK = 128       # GLOBAL ADC shortlist size per query before exact rerank
+                       # (128: measured recall ≥0.8 at sf0.001/0.01/0.1 — ADC
+                       # with m=8, ksub=16 is weakly informative on the i.i.d.
+                       # synthetic vectors, so the honest global shortlist
+                       # needs more headroom than a clustered corpus would)
+_ADC_SCALE = 1 << 24   # fixed-point grid for ADC lookup entries (int64 sums)
 
 
-def emb_pq_topk(sf_dir: str) -> ray.data.Dataset:
+def materialize_pq_fixture(sf_dir: str, path: str):
+    """Train the PQ codebooks once per (scale, code version) and pin BOTH
+    halves of the ADC state to Parquet:
+
+    - ``codebooks.parquet`` (sub, code, centroid) — the encode side;
+    - ``adc_table.parquet`` (query_id, sub, code, t_fp) — the query-side
+      lookup table, fixed-point ``floor(q_sub · codeword × 2^24)`` int64.
+
+    ADC scores are integer sums of t_fp entries, so they are exactly
+    order-independent and exactly reproducible in SQL (same-code vectors
+    tie EXACTLY on both sides; ties break by vec_id). The fixture is the
+    shared state of the emb_pq_topk hash oracle — the Ray query and
+    pq_topk_oracle_sql() both run encode + ADC scan + exact rerank from
+    it, independently."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        emb = ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        cb = _pq_codebooks_distributed(emb)
+        m, ksub, dsub = cb.shape
+        qdf = emb.filter(expr=f"vec_id < {_ANN_N_QUERIES}").to_pandas().sort_values("vec_id")
+        Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        qids = qdf["vec_id"].to_numpy()
+        T = np.einsum("qmd,mkd->qmk", Qn.reshape(len(Qn), m, dsub), cb)
+        Tq = np.floor(T * _ADC_SCALE).astype(np.int64)
+        os.makedirs(path, exist_ok=True)
+        subs = np.repeat(np.arange(m, dtype=np.int64), ksub)
+        codes_col = np.tile(np.arange(ksub, dtype=np.int64), m)
+        _pq.write_table(
+            pa.Table.from_arrays(
+                [pa.array(subs), pa.array(codes_col),
+                 pa.array([r.tolist() for r in cb.reshape(m * ksub, dsub)],
+                          pa.list_(pa.float64()))],
+                names=["sub", "code", "centroid"],
+            ),
+            f"{path}/codebooks.parquet",
+        )
+        nq = len(qids)
+        _pq.write_table(
+            pa.Table.from_arrays(
+                [pa.array(np.repeat(qids.astype(np.int64), m * ksub)),
+                 pa.array(np.tile(subs, nq)), pa.array(np.tile(codes_col, nq)),
+                 pa.array(Tq.reshape(nq * m * ksub))],
+                names=["query_id", "sub", "code", "t_fp"],
+            ),
+            f"{path}/adc_table.parquet",
+        )
+        open(f"{path}/_SUCCESS", "w").close()
+    cbt = _pq.read_table(f"{path}/codebooks.parquet").sort_by([("sub", "ascending"), ("code", "ascending")])
+    cent = np.stack([np.asarray(r, dtype=np.float64) for r in cbt.column("centroid").to_pylist()])
+    m = int(pc.max(cbt.column("sub")).as_py()) + 1
+    ksub = int(pc.max(cbt.column("code")).as_py()) + 1
+    cb = cent.reshape(m, ksub, cent.shape[1])
+    at = _pq.read_table(f"{path}/adc_table.parquet").sort_by(
+        [("query_id", "ascending"), ("sub", "ascending"), ("code", "ascending")]
+    )
+    qids = np.unique(np.asarray(at.column("query_id")))
+    Tq = np.asarray(at.column("t_fp")).reshape(len(qids), m, ksub)
+    return cb, qids, Tq
+
+
+def emb_pq_topk(sf_dir: str, fixture_path: str | None = None) -> ray.data.Dataset:
     """PQ/ADC top-k with exact rerank: corpus vectors are encoded to _PQ_M
-    uint8 codes; each query precomputes a (m × ksub) dot-product table
-    against the broadcast codebooks, and ADC-scoring a vector is m table
-    lookups + a sum — the scan touches 8 bytes per vector instead of 512,
-    which is what makes a 100 TB embedding table scannable. The ADC pass
-    only SHORTLISTS (_PQ_RERANK per query per batch); exact cosine is
-    computed for shortlisted vectors only (the production ADC-then-rerank
-    pattern — at scale the rerank fetches full vectors by id; here they
-    are in the batch already). Encode + scan fuse into ONE map_batches
-    (codes never materialize); approximate (the true neighbor can miss
-    the shortlist), recall-checked by emb_pq_recall against the exact SQL
-    baseline."""
+    uint8 codes; each query precomputes a (m × ksub) lookup table against
+    the broadcast codebooks, and ADC-scoring a vector is m table lookups +
+    an int64 sum — the scan touches 8 bytes per vector instead of 512,
+    which is what makes a 100 TB embedding table scannable. Each batch
+    emits its ADC-top-_PQ_RERANK candidates (with exact cosine computed
+    for just those — at scale the rerank fetches full vectors by id; here
+    they are in the batch already); the final per-query group cuts the
+    GLOBAL ADC-top-_PQ_RERANK shortlist, then ranks it by exact cosine —
+    so the result is a pure function of (embeddings, codebooks),
+    independent of block/batch layout. Encode + scan fuse into ONE
+    map_batches (codes never materialize); approximate (the true neighbor
+    can miss the shortlist), recall-checked by emb_pq_recall and — with
+    ``fixture_path`` (see materialize_pq_fixture) — hash-checked end to
+    end by pq_topk_oracle_sql()."""
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    cb = _pq_codebooks_distributed(emb)
-
-    qdf = emb.filter(expr=f"vec_id < {_ANN_N_QUERIES}").to_pandas()
+    # vec_id-sorted so Qn rows align with the fixture's query_id-sorted
+    # ADC table (and with the non-fixture qids) by construction
+    qdf = emb.filter(expr=f"vec_id < {_ANN_N_QUERIES}").to_pandas().sort_values("vec_id")
     Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    qids = qdf["vec_id"].to_numpy()
-    m, ksub, dsub = cb.shape
-    # ADC tables: T[q, mi, code] = q_sub(mi) · codebook[mi, code]
-    T = np.einsum("qmd,mkd->qmk", Qn.reshape(len(Qn), m, dsub), cb)
-    ref = ray.put((qids, Qn, T, cb))
+    if fixture_path is not None:
+        cb, qids, Tq = materialize_pq_fixture(sf_dir, fixture_path)
+    else:
+        cb = _pq_codebooks_distributed(emb)
+        m_, ksub_, dsub_ = cb.shape
+        qids = qdf["vec_id"].to_numpy()
+        T = np.einsum("qmd,mkd->qmk", Qn.reshape(len(Qn), m_, dsub_), cb)
+        Tq = np.floor(T * _ADC_SCALE).astype(np.int64)
+    ref = ray.put((qids, Qn, Tq, cb))
 
     def partial_topk(batch: pa.Table) -> pa.Table:
-        qids, Qn, T, cb = ray.get(ref)
+        qids, Qn, Tq, cb = ray.get(ref)
         m, ksub, dsub = cb.shape
         vids = np.asarray(batch.column("vec_id"))
         keep = vids >= _ANN_N_QUERIES
-        q_out, n_out, s_out = [], [], []
+        q_out, n_out, a_out, s_out = [], [], [], []
         if keep.any():
             M_ = np.stack(batch.column("embedding").to_pandas().to_numpy()[keep]).astype(np.float64)
             Mn = M_ / np.linalg.norm(M_, axis=1, keepdims=True)
@@ -4687,27 +4854,29 @@ def emb_pq_topk(sf_dir: str) -> ray.data.Dataset:
                 codes[:, mi] = d2.argmin(1)
             vkeep = vids[keep]
             for qi in range(len(qids)):
-                # sum of m table lookups, fixed subspace order -> the
-                # approx sim is batch-composition independent
-                sims = np.zeros(len(Mn))
+                # int64 sum of m table lookups — exactly order-independent
+                sims = np.zeros(len(Mn), dtype=np.int64)
                 for mi in range(m):
-                    sims += T[qi, mi, codes[:, mi]]
+                    sims += Tq[qi, mi, codes[:, mi]]
                 r = min(_PQ_RERANK, len(vkeep))
-                short = np.argsort(-sims, kind="stable")[:r]
+                # (adc desc, vec_id asc): same total order as the final
+                # combine and the SQL oracle -> per-batch cut loses only
+                # rows the global shortlist cut would lose anyway
+                short = np.lexsort((vkeep, -sims))[:r]
                 exact = Qn[qi] @ Mn[short].T
-                k = min(_ANN_K, r)
-                idx = short[np.argsort(-exact, kind="stable")[:k]]
-                for j in idx:
+                for j, e in zip(short, exact):
                     q_out.append(int(qids[qi]))
                     n_out.append(int(vkeep[j]))
-                    s_out.append(float(Qn[qi] @ Mn[j]))
+                    a_out.append(int(sims[j]))
+                    s_out.append(float(e))
         return pa.Table.from_arrays(
             [pa.array(q_out, pa.int64()), pa.array(n_out, pa.int64()),
-             pa.array(s_out, pa.float64())],
-            names=["query_id", "neighbor_id", "sim"],
+             pa.array(a_out, pa.int64()), pa.array(s_out, pa.float64())],
+            names=["query_id", "neighbor_id", "adc_fp", "sim"],
         )
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["adc_fp", "neighbor_id"], ascending=[False, True]).head(_PQ_RERANK)
         g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(_ANN_K)
         g = g.reset_index(drop=True)
         return pd.DataFrame(
@@ -4719,10 +4888,59 @@ def emb_pq_topk(sf_dir: str) -> ray.data.Dataset:
     return cand.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
-def emb_pq_recall(sf_dir: str, pq_path: str | None = None) -> ray.data.Dataset:
+def pq_topk_oracle_sql(fixture_path: str) -> str:
+    """DIRECT value oracle for emb_pq_topk: encode (per-subspace argmin L2
+    against the pinned codebooks; numpy argmin takes the FIRST min, so
+    ties break code-ascending), integer ADC scan from the pinned lookup
+    table, global top-_PQ_RERANK shortlist (adc desc, vec_id asc), exact
+    cosine rerank — all re-derived in SQL."""
+    m, dsub = _PQ_M, 64 // _PQ_M
+    return f"""
+WITH cb AS (
+  SELECT sub, code, centroid FROM read_parquet('{fixture_path}/codebooks.parquet')
+), adct AS (
+  SELECT query_id, sub, code, t_fp FROM read_parquet('{fixture_path}/adc_table.parquet')
+), norm AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x ->
+           x / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS e
+  FROM embeddings WHERE vec_id >= {_ANN_N_QUERIES}
+), code_rank AS (
+  SELECT n.vec_id, c.sub, c.code,
+         row_number() OVER (PARTITION BY n.vec_id, c.sub ORDER BY
+           list_distance(list_slice(n.e, c.sub*{dsub}+1, c.sub*{dsub}+{dsub}),
+                         c.centroid) ASC, c.code) AS rn
+  FROM norm n, cb c
+), vcodes AS (
+  SELECT vec_id, sub, code FROM code_rank WHERE rn = 1
+), adc AS (
+  SELECT t.query_id, v.vec_id AS neighbor_id, sum(t.t_fp)::BIGINT AS adc_fp
+  FROM vcodes v JOIN adct t ON t.sub = v.sub AND t.code = v.code
+  GROUP BY t.query_id, v.vec_id
+), short AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_fp DESC, neighbor_id) AS rn
+  FROM adc
+)
+SELECT s.query_id,
+       row_number() OVER (PARTITION BY s.query_id ORDER BY
+         list_cosine_similarity(q.embedding, e.embedding) DESC, s.neighbor_id) AS rank,
+       s.neighbor_id
+FROM short s
+JOIN embeddings q ON q.vec_id = s.query_id
+JOIN embeddings e ON e.vec_id = s.neighbor_id
+WHERE s.rn <= {_PQ_RERANK}
+QUALIFY rank <= {_ANN_K}
+"""
+
+
+def emb_pq_recall(
+    sf_dir: str, pq_path: str | None = None, fixture_path: str | None = None
+) -> ray.data.Dataset:
     """Recall@k of the PQ/ADC path vs the exact top-k — same materialize-
     then-independent-SQL-baseline construction as emb_ann_ivf_recall."""
-    pq_ds = emb_pq_topk(sf_dir)
+    pq_ds = emb_pq_topk(sf_dir, fixture_path=fixture_path)
     if pq_path is not None:
         import os
         import shutil

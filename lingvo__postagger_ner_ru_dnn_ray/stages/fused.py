@@ -36,6 +36,63 @@ _OUT_SCHEMA = pa.schema(
     + [pa.field(n, pa.string()) for n in ("subj_id", "subj_canon", "obj_id", "obj_canon")]
 )
 
+_MEMO_STATS_ACTOR = "graft_kg_memo_stats"
+
+
+class _MemoStats:
+    """Cluster-wide memo-hit counters (opt-in, GRAFT_KG_MEMO_STATS=1): the
+    fused stage's turn-memo hit rate is the documented scaling-efficiency
+    ceiling (8 workers see hotter caches than 32), so the bench surfaces
+    MEASURED unique-compute fractions per run instead of a modeled one.
+    Workers post per-batch deltas fire-and-forget; the driver reads the
+    aggregate after the job (approximate by a few in-flight batches)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.turns = 0          # non-empty turns seen
+        self.unique = 0         # after WITHIN-batch dedup
+        self.computed = 0       # full chain actually ran (cross-batch memo miss)
+
+    def add(self, turns: int, unique: int, computed: int) -> None:
+        self.turns += turns
+        self.unique += unique
+        self.computed += computed
+
+    def get(self) -> dict:
+        return {
+            "turns": self.turns,
+            "unique_in_batch": self.unique,
+            "computed": self.computed,
+            "turn_memo_hit_rate": round(1 - self.computed / self.turns, 4) if self.turns else None,
+            "unique_compute_fraction": round(self.computed / self.turns, 4) if self.turns else None,
+        }
+
+
+def start_memo_stats():
+    """Driver-side: create (or fetch) the named counter actor. Pair with
+    os.environ['GRAFT_KG_MEMO_STATS']='1' set BEFORE ray.init so workers
+    inherit the flag and post their deltas."""
+    import ray
+
+    return (
+        ray.remote(num_cpus=0)(_MemoStats)
+        .options(name=_MEMO_STATS_ACTOR, get_if_exists=True)
+        .remote()
+    )
+
+
+def _memo_stats_handle():
+    if os.environ.get("GRAFT_KG_MEMO_STATS") != "1":
+        return None
+    try:
+        import ray
+
+        return ray.get_actor(_MEMO_STATS_ACTOR)
+    except Exception:
+        return None  # flag set but no driver-side actor: counters off
+
 
 class KgStage:
     """transcript rows -> linked triple rows (one actor = both DNNs + the
@@ -60,6 +117,7 @@ class KgStage:
         # self-clearing like the dataops hash memos; deterministic, so
         # resume/retry replay is unaffected.
         self._turn_memo: dict[str, list[tuple]] = {}
+        self._memo_stats = _memo_stats_handle()
 
     def call_modular(self, batch: pa.Table) -> pa.Table:
         """The stage-by-stage composition — the reference implementation
@@ -135,6 +193,11 @@ class KgStage:
                 todo = list({x for x in text if x})
             for x, rows in zip(todo, self._compute_rows(todo)):
                 memo[x] = rows
+        if self._memo_stats is not None:
+            uniq = len({x for x in text if x})
+            self._memo_stats.add.remote(
+                sum(1 for x in text if x), uniq, len(todo)
+            )
 
         payload_names = list(TRIPLE_SCHEMA.names[4:]) + [
             "subj_id", "subj_canon", "obj_id", "obj_canon"

@@ -711,6 +711,37 @@ def test_pq_recall_vs_bruteforce(ray_session):
     )
 
 
+def test_ivf_pq_direct_oracles(ray_session, con, tmp_path):
+    """Round-5: the IVF and PQ searches carry DIRECT value oracles — the
+    trained centroids / codebooks+ADC-table are pinned once, and the full
+    search (bucket assignment / encode, probe / integer-ADC shortlist,
+    exact rerank) is re-derived in SQL from the same fixture. Pins that
+    the Ray result hash-equals the SQL result, and that a re-run from the
+    pinned fixture is bitwise stable."""
+    from lingvo__postagger_ner_ru_dnn_ray.stages.dataops import (
+        ann_ivf_oracle_sql,
+        emb_ann_ivf,
+        emb_pq_topk,
+        materialize_ivf_centroids,
+        materialize_pq_fixture,
+        pq_topk_oracle_sql,
+    )
+
+    cent_dir = str(tmp_path / "ivf_cent")
+    materialize_ivf_centroids(SF, cent_dir)
+    got = _canon(emb_ann_ivf(SF, centroids_path=cent_dir).to_pandas())
+    want = _canon(con.execute(ann_ivf_oracle_sql(cent_dir)).fetchdf())
+    assert got.equals(want), "emb_ann_ivf != SQL oracle"
+    again = _canon(emb_ann_ivf(SF, centroids_path=cent_dir).to_pandas())
+    assert got.equals(again)
+
+    fix_dir = str(tmp_path / "pq_fix")
+    materialize_pq_fixture(SF, fix_dir)
+    got = _canon(emb_pq_topk(SF, fixture_path=fix_dir).to_pandas())
+    want = _canon(con.execute(pq_topk_oracle_sql(fix_dir)).fetchdf())
+    assert got.equals(want), "emb_pq_topk != SQL oracle"
+
+
 def test_pq_codebook_driver_pull_bounded(ray_session, monkeypatch):
     """PQ training pulls only codebook-sized frames to the driver (ksub
     init rows; m*ksub combine rows per iteration) — never the table."""

@@ -342,6 +342,84 @@ def test_kg_incremental_merge(ray_session, tmp_path):
                       str(tmp_path / "kg_bad2"))
 
 
+def test_kg_merge_output_guard_and_pruned_triples(ray_session, tmp_path):
+    """Round-5 merge hardening: (1) merging into an out_dir that already
+    holds edges/ or nodes/ partitions raises (a hive write would APPEND
+    beside them and double-count the merged view) unless overwrite=True,
+    which replaces them and reproduces the fresh-merge output exactly;
+    (2) a run dir whose triples/ was pruned (edges-only retention) merges
+    with a warning — the exact conv_id overlap check is skipped for it,
+    not failed."""
+    import warnings
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    from lingvo__postagger_ner_ru_dnn_ray.pipelines.kg import merge_kg_runs
+
+    base = synth_transcripts_table(200, seed=29).to_pandas()
+    convs = sorted(base["conv_id"].unique())
+    half = set(convs[: len(convs) // 2])
+    outs = {}
+    # both deltas staged through the SAME input path (the production
+    # drop-dir pattern): their manifests share config_hash {v, partitions,
+    # input path} even though the content is disjoint — the manifest fast
+    # path must WARN and defer to the exact conv_id check, not raise
+    # (round-4 ADVICE item)
+    src = tmp_path / "drop_dir"
+    for name, mask in (("a", base["conv_id"].isin(half)),
+                       ("b", ~base["conv_id"].isin(half))):
+        shutil.rmtree(src, ignore_errors=True)
+        src.mkdir()
+        t = pa.Table.from_pandas(base[mask], preserve_index=False)
+        t = t.set_column(
+            t.schema.get_field_index("turn_idx"), "turn_idx",
+            t.column("turn_idx").cast(pa.int32()),
+        )
+        pq_mod.write_table(t, src / "part-0.parquet")
+        outs[name] = tmp_path / f"kg_{name}"
+        run_kg_job(str(src), str(outs[name]), num_partitions=2, tag_concurrency=2)
+
+    runs = [str(outs["a"]), str(outs["b"])]
+    merged = tmp_path / "kg_merged"
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        merge_kg_runs(runs, str(merged))
+    assert any("differ in content" in str(x.message) for x in w), (
+        "same staging path should trigger the hash-collision warning"
+    )
+    edges_before = pq_mod.read_table(merged / "edges").to_pandas()
+
+    # re-merge into the SAME dir: must refuse (append would double-count)
+    with pytest.raises(FileExistsError, match="already contains output"):
+        merge_kg_runs(runs, str(merged))
+    # overwrite=True replaces and reproduces the same view
+    merge_kg_runs(runs, str(merged), overwrite=True)
+    edges_after = pq_mod.read_table(merged / "edges").to_pandas()
+    keys = ["part", "subj_id", "pred", "obj_id"]
+    for df in (edges_before, edges_after):
+        df["part"] = df["part"].astype("int64")
+    assert _sorted_df(pa.Table.from_pandas(edges_before), keys).equals(
+        _sorted_df(pa.Table.from_pandas(edges_after), keys)
+    )
+    # row count stayed flat (no silent append)
+    assert len(edges_after) == len(edges_before)
+
+    # prune run b's triples (edges-only retention): merge still works,
+    # with a warning that b's exact overlap check was skipped
+    shutil.rmtree(outs["b"] / "triples")
+    merged2 = tmp_path / "kg_merged2"
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        merge_kg_runs(runs, str(merged2))
+    assert any("no triples/ directory" in str(x.message) for x in w)
+    edges2 = pq_mod.read_table(merged2 / "edges").to_pandas()
+    edges2["part"] = edges2["part"].astype("int64")
+    assert _sorted_df(pa.Table.from_pandas(edges2), keys).equals(
+        _sorted_df(pa.Table.from_pandas(edges_before), keys)
+    )
+
+
 def test_linker_fuzzy_fallback(ray_session):
     """Opt-in ED<=1 linking: a typo'd known surface form links through the
     per-actor FastSS deletion index; exact mode (the default, which the
