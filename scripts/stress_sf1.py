@@ -83,22 +83,28 @@ class MemSampler(threading.Thread):
 
 
 def _spill_stats() -> dict:
-    """Object-store spill totals from the raylet's own accounting."""
-    try:
-        from ray._private.internal_api import memory_summary
+    """Object-store spill totals from the raylet's own accounting: the
+    LocalObjectManager block of the periodic debug_state.txt dump of the
+    CURRENT session (memory_summary needs grpc, absent here)."""
+    import ray
 
-        txt = memory_summary(stats_only=True)
+    try:
+        sess = ray._private.worker._global_node.get_session_dir_path()
+        txt = (Path(sess) / "logs" / "debug_state.txt").read_text()
     except Exception as e:  # pragma: no cover
         return {"error": str(e)}
-    out = {"spilled_mib": 0, "spilled_objects": 0, "restored_mib": 0}
+    out = {}
+    grab = {
+        "num bytes currently spilled": "bytes_currently_spilled",
+        "cumulative spill requests": "cumulative_spill_requests",
+        "cumulative restore requests": "cumulative_restore_requests",
+        "pinned objects size": "pinned_bytes",
+    }
     for line in txt.splitlines():
-        line = line.strip()
-        if line.startswith("Spilled "):
-            parts = line.split()
-            out["spilled_mib"] = float(parts[1])
-            out["spilled_objects"] = int(parts[3])
-        elif line.startswith("Restored "):
-            out["restored_mib"] = float(line.split()[1])
+        line = line.strip().lstrip("- ")
+        for k, name in grab.items():
+            if line.startswith(k + ":"):
+                out[name] = int(line.split(":")[1])
     return out
 
 
