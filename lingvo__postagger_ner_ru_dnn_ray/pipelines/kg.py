@@ -116,6 +116,12 @@ def fused_linked_triples(
     ``artifact_dir`` (see model/artifact.py) and each actor loads the
     sha-verified .npz weights once in __init__."""
     if concurrency is None:
+        if artifact_dir is not None:
+            raise ValueError(
+                "artifact_dir requires the actor-pool mode (pass concurrency=): "
+                "stateless-task mode uses the module-singleton lexicon taggers "
+                "and would silently ignore the artifact weights"
+            )
         from ..stages.fused import kg_stage_fn
 
         return ds.map_batches(kg_stage_fn, batch_format="pyarrow", batch_size=batch_size)
@@ -161,6 +167,7 @@ def run_kg_job(
     tag_batch_size: int = 512,
     stats_out: list | None = None,
     sort_turns: bool = False,
+    artifact_dir: str | None = None,
 ) -> dict:
     """End-to-end job: writes triples/, edges/, nodes/ under ``out_dir``,
     each hash-partitioned by conv_id (edges/nodes aggregated per partition —
@@ -186,6 +193,10 @@ def run_kg_job(
     analogue) bench.py summarizes into its JSON."""
     p = num_partitions
     cfg = {"v": 1, "num_partitions": p, "input": str(input_path)}
+    if artifact_dir is not None:
+        # different weights -> different lineage: a resume must never mix
+        # partitions produced by lexicon weights with artifact-loaded ones
+        cfg["artifact_dir"] = str(artifact_dir)
     ch = mf.config_hash(cfg)
     tables = ("triples", "edges", "nodes")
     out = {t: str(Path(out_dir) / t) for t in tables}
@@ -210,7 +221,8 @@ def run_kg_job(
         ds = ds.sort(["conv_id", "turn_idx"])
 
     triples = fused_linked_triples(
-        ds, concurrency=tag_concurrency, batch_size=tag_batch_size
+        ds, concurrency=tag_concurrency, batch_size=tag_batch_size,
+        artifact_dir=artifact_dir,
     )
     triples = triples.map_batches(_add_part(p), batch_format="pyarrow")
     # coalesce before the hive-partitioned write: N blocks × P partition

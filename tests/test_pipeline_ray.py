@@ -420,6 +420,49 @@ def test_kg_merge_output_guard_and_pruned_triples(ray_session, tmp_path):
     )
 
 
+def test_kg_job_artifact_path(ray_session, tmp_path, tmp_path_factory):
+    """run_kg_job(artifact_dir=) — the production deployment layout end to
+    end: actor pool, sha-verified .npz loaded per actor, output identical
+    to the lexicon-weights job; the lineage config hash folds the artifact
+    dir in (a resume must never mix weight sources); task mode + artifact
+    raises instead of silently ignoring the weights."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    from lingvo__postagger_ner_ru_dnn_ray.model.artifact import ensure_default_artifacts
+    from lingvo__postagger_ner_ru_dnn_ray.pipelines.kg import fused_linked_triples
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t = synth_transcripts_table(200, seed=31)
+    pq_mod.write_table(t, src / "part-0.parquet")
+    adir = ensure_default_artifacts(tmp_path_factory.mktemp("models2"))
+
+    out_lex = tmp_path / "kg_lex"
+    out_art = tmp_path / "kg_art"
+    run_kg_job(str(src), str(out_lex), num_partitions=2, tag_concurrency=2)
+    run_kg_job(str(src), str(out_art), num_partitions=2, tag_concurrency=2,
+               artifact_dir=adir)
+    keys = ["part", "subj_id", "pred", "obj_id"]
+    lex = pq_mod.read_table(out_lex / "edges").to_pandas()
+    art = pq_mod.read_table(out_art / "edges").to_pandas()
+    for df in (lex, art):
+        df["part"] = df["part"].astype("int64")
+    assert _sorted_df(pa.Table.from_pandas(lex), keys).equals(
+        _sorted_df(pa.Table.from_pandas(art), keys)
+    )
+    # lineage hashes differ: the artifact run can't resume-skip into a
+    # lexicon run's partitions
+    m_lex = json.loads((out_lex / "triples" / "part=0" / "_manifest.json").read_text())
+    m_art = json.loads((out_art / "triples" / "part=0" / "_manifest.json").read_text())
+    assert m_lex["config_hash"] != m_art["config_hash"]
+
+    with pytest.raises(ValueError, match="actor-pool mode"):
+        fused_linked_triples(
+            read_transcripts(str(src)), concurrency=None, artifact_dir=str(adir)
+        )
+
+
 def test_linker_fuzzy_fallback(ray_session):
     """Opt-in ED<=1 linking: a typo'd known surface form links through the
     per-actor FastSS deletion index; exact mode (the default, which the
