@@ -69,3 +69,36 @@ def test_url_detector_never_crashes_and_spans_valid(text):
         assert 0 <= span.start < max(1, len(u))
         assert span.length >= 1
         assert span.start + span.length <= len(u)
+
+
+def test_bench_keep_sampling_decision():
+    """Band-proof resampler policy (round-4 lesson: a steal band owned the
+    whole driver session and recorded the headline at 2x its quiet value):
+    resample on high spread or all-samples-over-band, never past max_runs,
+    band rule only applies in the reference config."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", Path(__file__).resolve().parents[1] / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    keep = bench._keep_sampling
+
+    # under the minimum: always keep sampling
+    assert keep([30.0], n_runs=3, max_runs=6, ref=11.5, ref_config=True)
+    # quiet session at the minimum: stop
+    assert not keep([12.0, 11.9, 12.1], 3, 6, 11.5, True)
+    # band moved mid-session (spread > 1.5x): keep sampling
+    assert keep([18.0, 11.9, 12.0], 3, 6, 11.5, True)
+    # whole session in a band (all > 2x ref): keep sampling
+    assert keep([25.0, 24.0, 26.0], 3, 6, 11.5, True)
+    # same samples OUTSIDE the reference config: spread is fine, band rule
+    # doesn't apply (no comparable reference)
+    assert not keep([25.0, 24.0, 26.0], 3, 6, 11.5, False)
+    # hard stop at max_runs even if still banded
+    assert not keep([25.0] * 6, 3, 6, 11.5, True)
+    # no reference known: only the spread rule fires
+    assert not keep([25.0, 24.0, 26.0], 3, 6, None, True)
+    assert keep([40.0, 24.0, 26.0], 3, 6, None, True)
