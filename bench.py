@@ -101,6 +101,12 @@ def _run_scaling() -> None:
             GRAFT_KG_ONLY="1",
             GRAFT_BENCH_TURNS=str(turns),
             GRAFT_BENCH_RUNS="1",  # one run per child; pairing dedups noise
+            # pin max runs too: if the scaling input happens to equal the
+            # reference config (240k @32), the band rule would otherwise
+            # let only the 32-CPU child resample best-of-6 while its
+            # 8-CPU pair keeps a single sample — asymmetric best-of-N
+            # would inflate the pair efficiency
+            GRAFT_BENCH_MAX_RUNS="1",
         )
         # cooldown BEFORE each child after the first: drain dirty-page
         # writeback and Ray teardown from the previous run so it doesn't

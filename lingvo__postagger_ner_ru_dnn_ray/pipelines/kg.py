@@ -346,7 +346,14 @@ def _assert_disjoint_runs(run_dirs: list[str]) -> None:
 
         parts.append(ds.map_batches(distinct_tag, batch_format="pyarrow"))
     if len(parts) < 2:
-        return  # 0/1 checkable runs: nothing can overlap
+        if len(run_dirs) >= 2:
+            warnings.warn(
+                "merge_kg_runs: fewer than 2 runs have a readable triples/ "
+                "directory — the exact conv_id overlap check is VACUOUS for "
+                "this merge; disjointness is the caller's responsibility",
+                stacklevel=2,
+            )
+        return  # 0/1 checkable runs: nothing left to compare
     tagged = parts[0]
     for p_ in parts[1:]:
         tagged = tagged.union(p_)
@@ -406,19 +413,39 @@ def merge_kg_runs(
 
     from ..stages.conflate import _salted_final_agg
 
+    # duplicate run dirs are the cheapest-to-catch double-count (and would
+    # dodge the exact check entirely when their triples/ were pruned)
+    seen_paths: set[str] = set()
+    for d in run_dirs:
+        rp = str(Path(d).resolve())
+        if rp in seen_paths:
+            raise ValueError(f"merge_kg_runs: {d!r} appears twice in run_dirs")
+        seen_paths.add(rp)
+    if str(Path(out_dir).resolve()) in seen_paths:
+        raise ValueError(
+            "merge_kg_runs: out_dir is one of the input run dirs — the "
+            "merged write (or an overwrite rmtree) would clobber an input"
+        )
+    # validate the non-destructive preconditions FIRST: a failed overlap
+    # check must leave a pre-existing merged view intact, so the
+    # overwrite rmtree happens only after every check has passed (and
+    # reads of the run dirs happen before anything under out_dir is
+    # touched, in case out_dir nests near an input)
+    for t in ("edges", "nodes"):
+        tdir = Path(out_dir) / t
+        if tdir.exists() and any(tdir.iterdir()) and not overwrite:
+            raise FileExistsError(
+                f"merge_kg_runs: {tdir} already contains output — a hive "
+                "write would append beside it and double-count the merged "
+                "view. Pass overwrite=True to replace, or merge into a "
+                "fresh out_dir."
+            )
+    if check_overlap:
+        _assert_disjoint_runs(run_dirs)
     for t in ("edges", "nodes"):
         tdir = Path(out_dir) / t
         if tdir.exists() and any(tdir.iterdir()):
-            if not overwrite:
-                raise FileExistsError(
-                    f"merge_kg_runs: {tdir} already contains output — a hive "
-                    "write would append beside it and double-count the merged "
-                    "view. Pass overwrite=True to replace, or merge into a "
-                    "fresh out_dir."
-                )
             shutil.rmtree(tdir)
-    if check_overlap:
-        _assert_disjoint_runs(run_dirs)
     reads = [ray.data.read_parquet(f"{d}/edges") for d in run_dirs]
     edges = reads[0]
     for r in reads[1:]:

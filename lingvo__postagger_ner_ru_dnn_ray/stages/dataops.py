@@ -1521,8 +1521,10 @@ def emb_ann_ivf(sf_dir: str, centroids_path: str | None = None) -> ray.data.Data
     Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     qids = qdf["vec_id"].to_numpy()
-    # buckets each query probes
-    probes = np.argsort(-(Qn @ cent.T), axis=1)[:, :_IVF_NPROBE]
+    # buckets each query probes — STABLE sort so a tie at the nprobe
+    # boundary resolves cluster-ascending, the same (sim DESC, cluster)
+    # order the direct hash oracle's row_number uses
+    probes = np.argsort(-(Qn @ cent.T), axis=1, kind="stable")[:, :_IVF_NPROBE]
     ref = ray.put((qids, Qn, cent, probes))
 
     def partial_topk(batch: pa.Table) -> pa.Table:

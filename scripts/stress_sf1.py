@@ -22,7 +22,8 @@ clean 10x. All scratch under /tmp.
 
 Measurements per workload: wall seconds, rows out, peak driver+cluster
 RSS (sampled from /proc/meminfo MemAvailable), and Ray object-store
-spill (parsed from ray memory_summary). Usage:
+spill (the raylet's LocalObjectManager counters in debug_state.txt —
+memory_summary needs grpc, which this container lacks). Usage:
 
     python scripts/stress_sf1.py [kg|minhash|cc|pagerank|rolling] ...
 
@@ -177,8 +178,6 @@ def main() -> None:
 
     results = {}
     for name in which:
-        sampler = MemSampler()
-        sampler.start()
         t0 = time.perf_counter()
         if name == "kg":
             from lingvo__postagger_ner_ru_dnn_ray.pipelines.kg import run_kg_job
@@ -192,6 +191,11 @@ def main() -> None:
             import shutil
 
             shutil.rmtree(out_dir, ignore_errors=True)
+            # sample only the workload: an uncached fixture synthesis holds
+            # ~10 replicas in driver RAM at once and would otherwise be
+            # attributed to the job under test
+            sampler = MemSampler()
+            sampler.start()
             t0 = time.perf_counter()
             res = run_kg_job(tpath, out_dir, num_partitions=64, resume=False,
                              tag_concurrency=None, tag_batch_size=512)
@@ -202,6 +206,8 @@ def main() -> None:
             shutil.rmtree(out_dir, ignore_errors=True)
         else:
             sf1 = _ensure_10x_tables()
+            sampler = MemSampler()
+            sampler.start()
             t0 = time.perf_counter()
             if name == "minhash":
                 from lingvo__postagger_ner_ru_dnn_ray.stages import dataops

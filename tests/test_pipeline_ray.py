@@ -336,10 +336,26 @@ def test_kg_incremental_merge(ray_session, tmp_path):
         merge_kg_runs([str(outs["a"]), str(outs["full"])],
                       str(tmp_path / "kg_bad"))
     assert not (tmp_path / "kg_bad" / "edges").exists()
-    # merging the SAME run twice is the same mistake (manifest fast path)
-    with pytest.raises(ValueError, match="overlap|processed twice"):
+    # merging the SAME run twice is the same mistake — caught upfront by
+    # the duplicate-path guard (works even for pruned edges-only runs
+    # that the manifest/exact checks can't see)
+    with pytest.raises(ValueError, match="appears twice"):
         merge_kg_runs([str(outs["a"]), str(outs["a"])],
                       str(tmp_path / "kg_bad2"))
+    # out_dir colliding with an input would rmtree an input on overwrite
+    with pytest.raises(ValueError, match="out_dir is one of"):
+        merge_kg_runs([str(outs["a"]), str(outs["b"])], str(outs["a"]),
+                      overwrite=True)
+    # a FAILED overlap check must leave a pre-existing merged view intact
+    # even with overwrite=True (validation precedes the destructive rmtree)
+    merged_keep = tmp_path / "kg_keep"
+    merge_kg_runs([str(outs["a"]), str(outs["b"])], str(merged_keep))
+    before = sorted(p.name for p in (merged_keep / "edges").rglob("*.parquet"))
+    with pytest.raises(ValueError, match="overlap|processed twice"):
+        merge_kg_runs([str(outs["a"]), str(outs["full"])], str(merged_keep),
+                      overwrite=True)
+    after = sorted(p.name for p in (merged_keep / "edges").rglob("*.parquet"))
+    assert before == after and before, "failed check must not destroy output"
 
 
 def test_kg_merge_output_guard_and_pruned_triples(ray_session, tmp_path):

@@ -77,13 +77,25 @@ def test_bench_keep_sampling_decision():
     resample on high spread or all-samples-over-band, never past max_runs,
     band rule only applies in the reference config."""
     import importlib.util
+    import os
     from pathlib import Path
 
     spec = importlib.util.spec_from_file_location(
         "bench", Path(__file__).resolve().parents[1] / "bench.py"
     )
     bench = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(bench)
+    # bench.py's import-time setdefaults (GRAFT_KG_MEMO_STATS, BLAS pins)
+    # must not leak into the rest of the pytest process
+    saved = {k: os.environ.get(k) for k in
+             ("GRAFT_KG_MEMO_STATS", "OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS")}
+    try:
+        spec.loader.exec_module(bench)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
     keep = bench._keep_sampling
 
     # under the minimum: always keep sampling
