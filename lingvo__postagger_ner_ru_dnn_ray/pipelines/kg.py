@@ -157,6 +157,26 @@ def _drop_done_parts(p: int, done: set[int]):
     return fn
 
 
+def _read_parts(base: str, parts: list[int], p: int) -> ray.data.Dataset:
+    """Hive-partitioned read restricted to ``parts``. Fresh runs pass all
+    ``p`` partitions -> plain full read (the benched hot path, unchanged).
+    Resumes pass a subset -> full read + vectorized part filter
+    (correctness over read pruning: hive partition dirs may legitimately
+    hold zero data files — the manifest writer creates the dir even for
+    empty partitions — so per-directory reads are brittle; the dropped
+    rows never leave the first map)."""
+    ds = ray.data.read_parquet(base)
+    if len(parts) >= p:
+        return ds
+    want = pa.array([str(x) for x in parts], pa.string())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        col = pc.cast(batch.column("part"), pa.string())
+        return batch.filter(pc.is_in(col, value_set=want))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def run_kg_job(
     input_path: str,
     out_dir: str,
@@ -173,7 +193,15 @@ def run_kg_job(
     each hash-partitioned by conv_id (edges/nodes aggregated per partition —
     the global view is the sum over partitions) with lineage manifests.
     Returns summary counts. Idempotent: re-running after a partial failure
-    completes only missing partitions.
+    completes only missing (table, partition) pairs — manifests publish
+    PER TABLE right after that table's write, so a kill between stages
+    resumes by rebuilding only the downstream aggregates from the written
+    triples (the expensive tagging stage is skipped), partitions being
+    (re)computed are cleared of any un-manifested orphan files a dead run
+    flushed (a hive write would otherwise append beside them and
+    double-count), and each aggregate stage reads ONLY the partitions it
+    is rebuilding (deriving done partitions' aggregates again would
+    append duplicates into their directories).
 
     ``sort_turns`` (default False) controls the global (conv_id,
     turn_idx) sort. Extraction is a pure per-turn function and every
@@ -201,66 +229,100 @@ def run_kg_job(
     tables = ("triples", "edges", "nodes")
     out = {t: str(Path(out_dir) / t) for t in tables}
 
-    done: set[int] = set(range(p))
-    for t in tables:
-        done &= mf.completed_partitions(out[t], ch)
-    if not resume:
-        done = set()
+    done_by = {t: (mf.completed_partitions(out[t], ch) if resume else set())
+               for t in tables}
+    done = done_by["triples"] & done_by["edges"] & done_by["nodes"]
     todo = sorted(set(range(p)) - done)
     if not todo:
         return {"skipped": True, "partitions_done": sorted(done)}
+    # per-TABLE work lists: a kill between stage writes leaves e.g. triples
+    # manifested but edges/nodes not — the resume then skips the expensive
+    # tagging stage entirely and rebuilds only the downstream aggregates
+    # from the written triples (manifests publish PER TABLE, right after
+    # that table's write, below)
+    need = {t: [part for part in todo if part not in done_by[t]] for t in tables}
 
-    if tag_concurrency is None:
-        pool = int(ray.cluster_resources().get("CPU", 8))
-    else:
-        pool = tag_concurrency if isinstance(tag_concurrency, int) else tag_concurrency[-1]
-    ds = read_transcripts(input_path, override_num_blocks=max(64, pool * 8))
-    if done:
-        ds = ds.map_batches(_drop_done_parts(p, done), batch_format="pyarrow")
-    if sort_turns:
-        ds = ds.sort(["conv_id", "turn_idx"])
+    # crash hygiene: a killed run may have flushed partition files WITHOUT
+    # publishing their manifests, and a config change reuses partition
+    # paths with stale contents — either way write_parquet(partition_cols=)
+    # would APPEND beside the orphans and duplicate rows in the read-back
+    # view. Clear exactly the partitions being (re)computed per table;
+    # partitions with a complete same-config manifest are never touched.
+    import shutil as _shutil
 
-    triples = fused_linked_triples(
-        ds, concurrency=tag_concurrency, batch_size=tag_batch_size,
-        artifact_dir=artifact_dir,
-    )
-    triples = triples.map_batches(_add_part(p), batch_format="pyarrow")
-    # coalesce before the hive-partitioned write: N blocks × P partition
-    # values would otherwise explode into N·P tiny files (a 4000-file
-    # 60 MB table costs more to re-open than to aggregate)
-    triples = triples.repartition(max(p, 16))
+    for t in tables:
+        for part in need[t]:
+            pdir = mf.partition_dir(out[t], part)
+            if pdir.exists():
+                _shutil.rmtree(pdir)
 
-    # write triples once; aggregate edges from the written Parquet; derive
-    # nodes from the (already aggregated, small) edges table — each triple
-    # contributes 1 to each endpoint, so per-endpoint sum of edge weights
-    # equals conflate_nodes over the raw triples (one fewer full pass)
-    triples.write_parquet(out["triples"], partition_cols=["part"])
-    if stats_out is not None:
-        stats_out.append(("triples", triples.stats()))
-    tri_written = ray.data.read_parquet(out["triples"])
-    # NOTE: a repartition(1) single-task final combine
-    # (conflate._single_task_agg) was tried here and REJECTED by a
-    # temporally-adjacent A/B at 240k turns / 32 CPUs: 19.9 s vs 11.3 s
-    # for the salted exchange (and 66.7 vs 40.9 in a steal band). The
-    # single collector task serializes the combine AND the downstream
-    # write, which costs more than the sort barrier it saves; the salted
-    # exchange keeps combine + write parallel.
-    edges_ds = conflate_edges(tri_written, extra_keys=["part"])
-    edges_ds.write_parquet(out["edges"], partition_cols=["part"])
-    if stats_out is not None:
-        stats_out.append(("edges", edges_ds.stats()))
-    edges_written = ray.data.read_parquet(out["edges"])
-    nodes_ds = nodes_from_edges(edges_written, extra_keys=["part"])
-    nodes_ds.write_parquet(out["nodes"], partition_cols=["part"])
-    if stats_out is not None:
-        stats_out.append(("nodes", nodes_ds.stats()))
+    def _publish(table: str) -> None:
+        for part in need[table]:
+            mf.write_manifest(out[table], part, ch, inputs=cfg)
+
+    if need["triples"]:
+        if tag_concurrency is None:
+            pool = int(ray.cluster_resources().get("CPU", 8))
+        else:
+            pool = tag_concurrency if isinstance(tag_concurrency, int) else tag_concurrency[-1]
+        ds = read_transcripts(input_path, override_num_blocks=max(64, pool * 8))
+        skip = set(range(p)) - set(need["triples"])
+        if skip:
+            ds = ds.map_batches(_drop_done_parts(p, skip), batch_format="pyarrow")
+        if sort_turns:
+            ds = ds.sort(["conv_id", "turn_idx"])
+
+        triples = fused_linked_triples(
+            ds, concurrency=tag_concurrency, batch_size=tag_batch_size,
+            artifact_dir=artifact_dir,
+        )
+        triples = triples.map_batches(_add_part(p), batch_format="pyarrow")
+        # coalesce before the hive-partitioned write: N blocks × P partition
+        # values would otherwise explode into N·P tiny files (a 4000-file
+        # 60 MB table costs more to re-open than to aggregate)
+        triples = triples.repartition(max(p, 16))
+
+        # write triples once; aggregate edges from the written Parquet;
+        # derive nodes from the (already aggregated, small) edges table —
+        # each triple contributes 1 to each endpoint, so per-endpoint sum
+        # of edge weights equals conflate_nodes over the raw triples (one
+        # fewer full pass)
+        triples.write_parquet(out["triples"], partition_cols=["part"])
+        if stats_out is not None:
+            stats_out.append(("triples", triples.stats()))
+        _publish("triples")
+
+    if need["edges"]:
+        tri_written = _read_parts(out["triples"], need["edges"], p)
+        # NOTE: a repartition(1) single-task final combine
+        # (conflate._single_task_agg) was tried here and REJECTED by a
+        # temporally-adjacent A/B at 240k turns / 32 CPUs: 19.9 s vs 11.3 s
+        # for the salted exchange (and 66.7 vs 40.9 in a steal band). The
+        # single collector task serializes the combine AND the downstream
+        # write, which costs more than the sort barrier it saves; the
+        # salted exchange keeps combine + write parallel.
+        edges_ds = conflate_edges(tri_written, extra_keys=["part"])
+        edges_ds.write_parquet(out["edges"], partition_cols=["part"])
+        if stats_out is not None:
+            stats_out.append(("edges", edges_ds.stats()))
+        _publish("edges")
+
+    if need["nodes"]:
+        edges_written = _read_parts(out["edges"], need["nodes"], p)
+        nodes_ds = nodes_from_edges(edges_written, extra_keys=["part"])
+        nodes_ds.write_parquet(out["nodes"], partition_cols=["part"])
+        if stats_out is not None:
+            stats_out.append(("nodes", nodes_ds.stats()))
+        _publish("nodes")
+
+    import json as _json
 
     rows = {}
     for t in tables:
         n = 0
         for part in todo:
-            m = mf.write_manifest(out[t], part, ch, inputs=cfg)
-            n += m["rows"]
+            mp = mf.partition_dir(out[t], part) / mf.MANIFEST_NAME
+            n += _json.loads(mp.read_text())["rows"]
         rows[t] = n
     return {"skipped": False, "partitions_done": sorted(done), "partitions_run": todo, "rows": rows}
 

@@ -113,6 +113,8 @@ def test_kg_job_and_resume(fixture_path, oracle, tmp_path):
 
     # kill-simulation: destroy partitions 1 and 2, resume rebuilds ONLY them
     untouched = (out / "triples" / "part=0" / "_manifest.json").stat().st_mtime_ns
+    EDGE_SORT = ["part", "subj_id", "pred", "obj_id"]
+    full_edges = pq.read_table(out / "edges")
     for t in ("triples", "edges", "nodes"):
         for p in (1, 2):
             shutil.rmtree(out / t / f"part={p}", ignore_errors=True)
@@ -122,9 +124,50 @@ def test_kg_job_and_resume(fixture_path, oracle, tmp_path):
 
     resumed = pq.read_table(out / "triples").drop(["part"])
     assert _sorted_df(resumed, TRIPLE_KEYS).equals(_sorted_df(full_triples, TRIPLE_KEYS))
+    # the aggregate tables must NOT double-count the untouched partitions:
+    # the pre-fix resume derived edges from the FULL triples read and the
+    # hive write appended duplicates into done edges/nodes partitions
+    # (found by an end-of-round SIGKILL stress: part=0 weights doubled)
+    resumed_edges = pq.read_table(out / "edges")
+    assert _sorted_df(resumed_edges, EDGE_SORT).equals(
+        _sorted_df(full_edges, EDGE_SORT)
+    ), "resume duplicated edges in already-complete partitions"
+
+    # staged manifests: triples complete but edges/nodes destroyed -> the
+    # resume must rebuild aggregates WITHOUT re-running the tagging stage
+    for t in ("edges", "nodes"):
+        for p in range(4):
+            shutil.rmtree(out / t / f"part={p}", ignore_errors=True)
+    stats3: list = []
+    res_staged = run_kg_job(fixture_path, str(out), num_partitions=4,
+                            tag_concurrency=2, stats_out=stats3)
+    assert res_staged["partitions_run"] == [0, 1, 2, 3]
+    assert [s[0] for s in stats3] == ["edges", "nodes"], (
+        "tag-skip resume must not execute the triples stage"
+    )
+    assert _sorted_df(pq.read_table(out / "edges"), EDGE_SORT).equals(
+        _sorted_df(full_edges, EDGE_SORT)
+    )
 
     m = json.loads((out / "edges" / "part=3" / "_manifest.json").read_text())
     assert m["complete"] and m["rows"] >= 0 and m["config_hash"]
+
+    # REAL crash shape: a killed run leaves partition files WITHOUT a
+    # manifest (manifests publish last). The resume must clear such
+    # orphans before re-writing, or the hive append would duplicate
+    # every row the dead run had flushed.
+    orphan_dir = out / "triples" / "part=1"
+    orphan_rows = pq.read_table(orphan_dir).num_rows
+    (orphan_dir / "_manifest.json").unlink()
+    src = next(f for f in orphan_dir.glob("*.parquet"))
+    shutil.copy(src, orphan_dir / "orphan_from_dead_run.parquet")
+    res4 = run_kg_job(fixture_path, str(out), num_partitions=4, tag_concurrency=2)
+    assert res4["partitions_run"] == [1]
+    assert pq.read_table(orphan_dir).num_rows == orphan_rows, (
+        "resume must not append beside a dead run's orphan files"
+    )
+    resumed2 = pq.read_table(out / "triples").drop(["part"])
+    assert _sorted_df(resumed2, TRIPLE_KEYS).equals(_sorted_df(full_triples, TRIPLE_KEYS))
 
 
 def test_edges_nodes_global_view(fixture_path, oracle, tmp_path):
