@@ -246,14 +246,25 @@ def run_kg_job(
     # publishing their manifests, and a config change reuses partition
     # paths with stale contents — either way write_parquet(partition_cols=)
     # would APPEND beside the orphans and duplicate rows in the read-back
-    # view. Clear exactly the partitions being (re)computed per table;
-    # partitions with a complete same-config manifest are never touched.
+    # view (for out-of-range stale dirs, the aggregate stages' full read
+    # would also double-count: a previous num_partitions=8 run's part=4..7
+    # holds the same conversations a num_partitions=4 rerun hashes into
+    # part=0..3). Invariant after this pass: every partition dir present
+    # under out_dir holds a complete SAME-CONFIG manifest — anything else
+    # (orphans of a dead run, any-config stale dirs, out-of-range parts)
+    # is cleared; done partitions are never touched.
     import shutil as _shutil
 
     for t in tables:
-        for part in need[t]:
-            pdir = mf.partition_dir(out[t], part)
-            if pdir.exists():
+        root = Path(out[t])
+        if not root.exists():
+            continue
+        for pdir in root.glob("part=*"):
+            try:
+                part = int(pdir.name.split("=", 1)[1])
+            except ValueError:
+                part = -1
+            if part not in done_by[t]:
                 _shutil.rmtree(pdir)
 
     def _publish(table: str) -> None:

@@ -96,6 +96,23 @@ def main() -> None:
     assert rc == 0, "resume run failed"
     resume_s = round(time.perf_counter() - t0, 1)
 
+    # invariant (2): the resume re-ran EXACTLY the complement of the
+    # fully-manifested partitions (a regression that ignores manifests
+    # and recomputes everything would still be row-identical — catch it
+    # here, not by eyeballing the printed JSON)
+    import ast
+    import re
+
+    tail = out_txt.split("DONE", 1)[1]
+    if tail.strip().startswith("None"):  # skipped=True: kill landed after all publishes
+        ran, done_at_start = set(), set(ast.literal_eval(re.findall(r"\[[0-9, ]*\]", tail)[0]))
+    else:
+        lists = [ast.literal_eval(m) for m in re.findall(r"\[[0-9, ]*\]", tail)]
+        ran, done_at_start = set(lists[0]), set(lists[1])
+    fully_done = set(survived["triples"]) & set(survived["edges"]) & set(survived["nodes"])
+    assert done_at_start == fully_done, (ran, done_at_start, fully_done)
+    assert ran == set(range(PARTS)) - fully_done, (ran, fully_done)
+
     import duckdb
 
     con = duckdb.connect()
@@ -106,7 +123,7 @@ def main() -> None:
         q = f"""
         SELECT count(*) FROM (
           SELECT * FROM parquet_scan('{ref_dir}/{t}/part=*/*.parquet', hive_partitioning=1)
-          EXCEPT
+          EXCEPT ALL
           SELECT * FROM parquet_scan('{vic_dir}/{t}/part=*/*.parquet', hive_partitioning=1)
         )"""
         diff1 = con.execute(q).fetchone()[0]
@@ -119,6 +136,7 @@ def main() -> None:
         "partitions_with_manifest_at_kill": {k: len(v) for k, v in survived.items()},
         "survived_detail": survived,
         "resume_wall_s": resume_s,
+        "resume_partitions_run": sorted(ran),
         "row_set_mismatch_vs_uninterrupted": mismatch,
         "exact": all(v == 0 for v in mismatch.values()),
     }))

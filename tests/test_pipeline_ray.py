@@ -170,6 +170,27 @@ def test_kg_job_and_resume(fixture_path, oracle, tmp_path):
     assert _sorted_df(resumed2, TRIPLE_KEYS).equals(_sorted_df(full_triples, TRIPLE_KEYS))
 
 
+def test_kg_job_repartition_reuse(fixture_path, oracle, tmp_path):
+    """Reusing an out_dir with a SMALLER num_partitions must clear the old
+    run's out-of-range part dirs: the aggregate stages full-read the
+    triples dir, so stale part=2..3 rows (same conversations, re-hashed
+    into part=0..1 by the new config) would silently double every edge
+    weight in the read-back view."""
+    out = tmp_path / "kg_shrink"
+    run_kg_job(fixture_path, str(out), num_partitions=4, tag_concurrency=2)
+    res = run_kg_job(fixture_path, str(out), num_partitions=2, tag_concurrency=2)
+    assert res["partitions_run"] == [0, 1]
+    for t in ("triples", "edges", "nodes"):
+        assert sorted(d.name for d in (out / t).glob("part=*")) == ["part=0", "part=1"], t
+    got = pq.read_table(out / "triples").drop(["part"])
+    assert _sorted_df(got, TRIPLE_KEYS).equals(
+        _sorted_df(oracle["triples"], TRIPLE_KEYS)
+    )
+    # edge weights must equal the oracle-derived conflation, not 2x
+    got_e = pq.read_table(out / "edges").to_pandas()
+    assert int(got_e["weight"].sum()) == oracle["triples"].num_rows
+
+
 def test_edges_nodes_global_view(fixture_path, oracle, tmp_path):
     out = tmp_path / "kg2"
     run_kg_job(fixture_path, str(out), num_partitions=2, tag_concurrency=2)
