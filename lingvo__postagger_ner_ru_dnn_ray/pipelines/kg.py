@@ -265,7 +265,10 @@ def run_kg_job(
             except ValueError:
                 part = -1
             if part not in done_by[t]:
-                _shutil.rmtree(pdir)
+                if pdir.is_dir() and not pdir.is_symlink():
+                    _shutil.rmtree(pdir)
+                else:  # stray file / dangling or linked entry: heal, not crash
+                    pdir.unlink()
 
     def _publish(table: str) -> None:
         for part in need[table]:

@@ -44,7 +44,9 @@ logging.getLogger("ray.data").setLevel(logging.ERROR)
 from lingvo__postagger_ner_ru_dnn_ray.pipelines.kg import run_kg_job
 res = run_kg_job({tpath!r}, {out!r}, num_partitions={parts}, resume=True,
                  tag_concurrency=None, tag_batch_size=512)
-print("DONE", res.get("partitions_run"), res.get("partitions_done"))
+import json
+print("DONE " + json.dumps({{"run": res.get("partitions_run") or [],
+                             "done": res.get("partitions_done") or []}}))
 ray.shutdown()
 """
 
@@ -100,15 +102,8 @@ def main() -> None:
     # fully-manifested partitions (a regression that ignores manifests
     # and recomputes everything would still be row-identical — catch it
     # here, not by eyeballing the printed JSON)
-    import ast
-    import re
-
-    tail = out_txt.split("DONE", 1)[1]
-    if tail.strip().startswith("None"):  # skipped=True: kill landed after all publishes
-        ran, done_at_start = set(), set(ast.literal_eval(re.findall(r"\[[0-9, ]*\]", tail)[0]))
-    else:
-        lists = [ast.literal_eval(m) for m in re.findall(r"\[[0-9, ]*\]", tail)]
-        ran, done_at_start = set(lists[0]), set(lists[1])
+    payload = json.loads(out_txt.rsplit("DONE ", 1)[1])
+    ran, done_at_start = set(payload["run"]), set(payload["done"])
     fully_done = set(survived["triples"]) & set(survived["edges"]) & set(survived["nodes"])
     assert done_at_start == fully_done, (ran, done_at_start, fully_done)
     assert ran == set(range(PARTS)) - fully_done, (ran, fully_done)
