@@ -45,6 +45,25 @@ _EMPTY_EDGES = pd.DataFrame(
 )
 
 
+def _local_max_rows() -> int:
+    """Small-graph local-finish threshold (directed edge rows). Below it,
+    CC / PageRank skip the iterative shuffle loops and solve the whole
+    graph inside ONE task over one coalesced block — the standard
+    GraphX/GraphFrames "local aggregation" cutover. Rationale: a near-dup
+    graph is usually orders of magnitude smaller than its corpus (sf0.1:
+    5,000 docs → 2,203 candidate edges), and each distributed iteration
+    costs 2 sort-shuffles of fixed scheduling overhead that dwarfs the
+    actual work at that size (measured: ~20 s of loop overhead for a
+    2,203-edge graph vs <0.1 s solved locally). 2M directed rows ≈ 64 MB
+    Arrow + O(n) numpy state — well inside one worker's heap. Above the
+    threshold the proven iterative path runs unchanged. Override with
+    GRAFT_GRAPH_LOCAL_MAX_ROWS (0 forces the distributed path; tests pin
+    both paths equal)."""
+    import os
+
+    return int(os.environ.get("GRAFT_GRAPH_LOCAL_MAX_ROWS", "2000000"))
+
+
 def _bounded_parts(ds: ray.data.Dataset, target_bytes: int = 64 << 20) -> int:
     """Iteration width from DATA SIZE, not inherited block count: an
     iterative loop that re-sorts whatever block count the upstream stage
@@ -170,6 +189,35 @@ def _contract_edges(edges_d: ray.data.Dataset, passes: int = 3) -> ray.data.Data
     return edges_d
 
 
+_CC_OUT = pa.schema([("node", pa.int64()), ("lab", pa.int64())])
+
+
+def _cc_local_kernel(batch: pa.Table) -> pa.Table:
+    """Whole-graph CC inside one task: vectorized hash-min + pointer
+    doubling over dense node indices. np.unique sorts, so index order ==
+    node-id order and the fixpoint parent index IS the component min.
+    Monotone non-increasing integer vector → guaranteed fixpoint in
+    O(log n) sweeps. Bit-identical labels to the distributed loop (both
+    compute min reachable node id)."""
+    if batch.num_columns == 0 or batch.num_rows == 0:
+        return _CC_OUT.empty_table()
+    src = np.asarray(batch.column("k"), dtype=np.int64)
+    dst = np.asarray(batch.column("val"), dtype=np.int64)
+    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    si, di = inv[: len(src)], inv[len(src):]
+    p = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        m = p.copy()
+        np.minimum.at(m, di, p[si])  # hash-min across edges
+        m = np.minimum(m, m[m])  # pointer doubling
+        if np.array_equal(m, p):
+            break
+        p = m
+    return pa.Table.from_arrays(
+        [pa.array(nodes), pa.array(nodes[p])], names=_CC_OUT.names
+    )
+
+
 def connected_components(
     edges: ray.data.Dataset, max_iters: int = 64
 ) -> ray.data.Dataset:
@@ -205,6 +253,14 @@ def connected_components(
     # and coalesce to byte-sized blocks so each iteration's shuffles move
     # as many blocks as the DATA needs, not as many as upstream produced
     edges_d = edges.map_batches(to_directed, batch_format="pyarrow").materialize()
+    # small-graph local finish: solve the whole graph in one task instead
+    # of paying 2 sort-shuffles × iterations of fixed overhead on a graph
+    # that fits in a block (the count is metadata — edges_d is
+    # materialized). Same labels, pinned equal by test_graph.py.
+    if 0 < edges_d.count() <= _local_max_rows():
+        return edges_d.repartition(1).map_batches(
+            _cc_local_kernel, batch_format="pyarrow", batch_size=None
+        )
     edges_d = edges_d.repartition(_bounded_parts(edges_d)).materialize()
     # pre-contraction: each pass union-finds the edges inside each hash
     # partition and replaces them with node→root stars — same components,
@@ -506,6 +562,41 @@ def pagerank(edges: ray.data.Dataset, iters: int = _PR_ITERS) -> ray.data.Datase
 
     r0 = _PR_SCALE // n_nodes
     base = (15 * r0) // 100
+
+    # small-graph local finish (same cutover as connected_components):
+    # all ``iters`` rounds inside one task over one coalesced block, with
+    # IDENTICAL integer arithmetic (int64 scatter-add, floor divisions) —
+    # no per-iteration shuffles. Pinned equal to the distributed loop by
+    # test_graph.py.
+    if edge_aug.count() <= _local_max_rows():
+
+        def local_pr(batch: pa.Table) -> pa.Table:
+            out = pa.schema([("node", pa.int64()), ("rank_scaled", pa.int64())])
+            if batch.num_columns == 0 or batch.num_rows == 0:
+                return out.empty_table()
+            kind = np.asarray(batch.column("kind"), dtype=np.int8)
+            k = np.asarray(batch.column("k"), dtype=np.int64)
+            val = np.asarray(batch.column("val"), dtype=np.int64)
+            d = np.asarray(batch.column("d"), dtype=np.int64)
+            nmask = kind == 0
+            order = np.argsort(k[nmask], kind="stable")
+            nodes_s = k[nmask][order]
+            src, dst, dsrc = k[~nmask], val[~nmask], d[~nmask]
+            si = np.searchsorted(nodes_s, src)
+            di = np.searchsorted(nodes_s, dst)
+            r = np.full(len(nodes_s), r0, dtype=np.int64)
+            for _ in range(iters):
+                prop = r[si] // dsrc  # rank(u) // deg(u), exact int64
+                acc = np.zeros(len(nodes_s), dtype=np.int64)
+                np.add.at(acc, di, prop)  # Σ incoming proposals, 0 if none
+                r = base + (85 * acc) // 100
+            return pa.Table.from_arrays(
+                [pa.array(nodes_s), pa.array(r)], names=out.names
+            )
+
+        return edge_aug.repartition(1).map_batches(
+            local_pr, batch_format="pyarrow", batch_size=None
+        )
 
     def init_ranks(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

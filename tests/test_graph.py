@@ -26,8 +26,10 @@ def test_cc_chain_and_islands(ray_session):
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
 
 
-def test_cc_long_chain_converges(ray_session):
+def test_cc_long_chain_converges(ray_session, monkeypatch):
     # a 40-hop path exercises multi-iteration propagation (diameter ≈ 40)
+    # — force the DISTRIBUTED loop (the local finish would short-circuit)
+    monkeypatch.setenv("GRAFT_GRAPH_LOCAL_MAX_ROWS", "0")
     n = 41
     got = _cc_of(pa.table({"doc_a": list(range(n - 1)), "doc_b": list(range(1, n))}))
     assert got == {i: 0 for i in range(n)}
@@ -68,6 +70,49 @@ def test_dedup_cc_stronger_than_minrep(ray_session):
     # a doc in its own group
     grp = comps.groupby("component")["doc_id"].agg(set)
     assert all(c in members for c, members in grp.items())
+
+
+def test_local_finish_equals_distributed(ray_session, monkeypatch):
+    # the small-graph local finish (GRAFT_GRAPH_LOCAL_MAX_ROWS cutover)
+    # must produce bit-identical results to the iterative distributed
+    # path for BOTH operators, on an adversarial mix: long chain + hub
+    # star + self-loops + islands + duplicate edges
+    import ray.data
+
+    from lingvo__postagger_ner_ru_dnn_ray.stages.graph import (
+        connected_components,
+        pagerank,
+    )
+
+    rng = np.random.RandomState(7)
+    chain_a = np.arange(100, 140)
+    edges = pa.table({
+        "doc_a": np.concatenate([
+            chain_a, np.zeros(30, dtype=np.int64), [500, 600, 600],
+            rng.randint(0, 80, 60),
+        ]).astype(np.int64),
+        "doc_b": np.concatenate([
+            chain_a + 1, np.arange(1, 31), [500, 601, 601],
+            rng.randint(0, 80, 60),
+        ]).astype(np.int64),
+    })
+
+    def run(mode_rows: str):
+        monkeypatch.setenv("GRAFT_GRAPH_LOCAL_MAX_ROWS", mode_rows)
+        cc = (
+            connected_components(ray.data.from_arrow(edges))
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        pr = (
+            pagerank(ray.data.from_arrow(edges))
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        return cc, pr
+
+    cc_local, pr_local = run("2000000")
+    cc_dist, pr_dist = run("0")
+    pd.testing.assert_frame_equal(cc_local, cc_dist)
+    pd.testing.assert_frame_equal(pr_local, pr_dist)
 
 
 def test_pagerank_mass_and_symmetry(ray_session):
@@ -113,9 +158,11 @@ def test_triangle_count_shapes(ray_session):
     assert n_tri([0, 0, 0], [1, 2, 3]) == 0
 
 
-def test_cc_giant_cluster_linear(ray_session):
+def test_cc_giant_cluster_linear(ray_session, monkeypatch):
     # a 5k-node duplicate cluster (one hub linked to all) completes fast:
-    # star edges keep CC linear where pair emission would be C(m,2)
+    # star edges keep CC linear where pair emission would be C(m,2).
+    # Force the DISTRIBUTED loop — this test pins ITS scaling shape.
+    monkeypatch.setenv("GRAFT_GRAPH_LOCAL_MAX_ROWS", "0")
     import ray.data
 
     from lingvo__postagger_ner_ru_dnn_ray.stages.graph import connected_components
