@@ -360,7 +360,7 @@ def _distinct_pairs(pairs: ray.data.Dataset) -> ray.data.Dataset:
 
 def _verify_candidate_pairs(
     docs: ray.data.Dataset, cand: ray.data.Dataset, verify_threshold_pct: int,
-    emit: str = "pairs",
+    emit: str = "pairs", dedup_cand: bool = False,
 ) -> ray.data.Dataset:
     """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs via two
     reduce-side co-partitioned groupby merges (hash-partitioned on the doc
@@ -376,7 +376,13 @@ def _verify_candidate_pairs(
     (doc_id) directly — pass 2 is co-partitioned on salt(doc_b) with
     EVERY doc's row present, so "this doc has no verified lower-id link"
     is a partition-local fact and the separate anti-join stage of the
-    old keep-list construction disappears."""
+    old keep-list construction disappears.
+
+    ``dedup_cand=True`` makes candidate DISTINCT a pass-1 partition-local
+    fact instead of a dedicated upstream shuffle: every copy of (a, b)
+    carries k = a, so all copies land in the same salt group and a
+    vectorized drop_duplicates there IS global distinct — one whole
+    sort-shuffle cheaper than chaining _distinct_pairs in front."""
 
     def tag_docs(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -411,6 +417,10 @@ def _verify_candidate_pairs(
         # distinct (target partition, doc_a) carries the text.
         docs_g = g[g["kind"] == 0][["k", "payload"]].rename(columns={"payload": "text_a"})
         c = g[g["kind"] == 1][["k", "other"]]
+        if dedup_cand and not c.empty:
+            # all copies of (a, b) share k = a → this group sees them all;
+            # local drop_duplicates == global DISTINCT
+            c = c.drop_duplicates(["k", "other"])
         if docs_g.empty or c.empty:
             return _EMPTY_MERGE_FRAME.copy()
         m = c.merge(docs_g, on="k", how="inner")
@@ -558,9 +568,10 @@ def doc_minhash_pairs(sf_dir: str, verify_threshold_pct: int = 1) -> ray.data.Da
     docs = _docs(sf_dir, ["doc_id", "text"])
     bands = docs.map_batches(_mh_to_bands, batch_format="pyarrow")
     cand = bands.groupby("salt").map_groups(salted_pairs, batch_format="pandas")
-    # dedup candidate pairs across bands (salted distinct, O(partitions))
-    cand = _distinct_pairs(cand)
-    return _verify_candidate_pairs(docs, cand, verify_threshold_pct)
+    # cross-band candidate dedup happens INSIDE verification pass 1
+    # (dedup_cand: partition-local distinct == global distinct) — no
+    # dedicated _distinct_pairs shuffle
+    return _verify_candidate_pairs(docs, cand, verify_threshold_pct, dedup_cand=True)
 
 
 def _mh_band_cte() -> str:
@@ -1816,12 +1827,14 @@ def doc_dedup_minhash(sf_dir: str) -> ray.data.Dataset:
         )
 
     links = bands.groupby("salt").map_groups(rep_links, batch_format="pandas")
-    # dedup (rep, doc) links across bands — ≤ _MH_BANDS rows per doc
-    links = _distinct_pairs(links)
+    # cross-band (rep, doc) link dedup happens inside verification pass 1
+    # (dedup_cand) — no dedicated shuffle; ≤ _MH_BANDS rows per doc either way
     # emit="keep": verification pass 2 is co-partitioned on salt(doc_b)
     # with every doc's row present, so the keep-list falls out of the
     # verify partitions directly — no separate anti-join stage
-    return _verify_candidate_pairs(docs, links, _DEDUP_KEEP_THRESHOLD, emit="keep")
+    return _verify_candidate_pairs(
+        docs, links, _DEDUP_KEEP_THRESHOLD, emit="keep", dedup_cand=True
+    )
 
 
 _CLEAN_MIN_WORDS = 20
@@ -3449,8 +3462,7 @@ def doc_jaccard_join_prefix(sf_dir: str, threshold_pct: int = 50) -> ray.data.Da
         .groupby("salt")
         .map_groups(posting_pairs, batch_format="pandas")
     )
-    cand = _distinct_pairs(cand)
-    return _verify_candidate_pairs(docs, cand, threshold_pct)
+    return _verify_candidate_pairs(docs, cand, threshold_pct, dedup_cand=True)
 
 
 _TFIDF_K = 5
