@@ -44,7 +44,7 @@ _REF_SECS = {
     "kg_e2e": 10.7,
     "doc_dedup_exact": 3.5, "doc_minhash_pairs": 9.2, "doc_dedup_minhash": 9.2,
     "doc_simhash_neardup_pairs": 3.8, "doc_jaccard_join_prefix": 16.2,
-    "doc_clean_corpus": 14.6, "doc_dedup_cc": 11.0, "doc_dup_pagerank": 5.0,
+    "doc_clean_corpus": 14.6, "doc_dedup_cc": 4.1, "doc_dup_pagerank": 4.1,
     "doc_token_hll_registers": 0.8, "doc_tfidf_topk": 2.1,
     "doc_token_cms_registers": 0.8, "doc_rep_ngram_signals": 1.0,
     "doc_decontaminate": 1.5, "doc_dup_spans": 3.9, "events_funnel": 1.9,
