@@ -524,9 +524,10 @@ def doc_minhash_pairs(sf_dir: str, verify_threshold_pct: int = 1) -> ray.data.Da
        (triu_indices), emission per bucket is CAPPED at
        C(_LSH_BUCKET_DOC_CAP, 2) with deterministic lowest-ids-win
        truncation (logged) so one giant duplicate cluster cannot emit a
-       quadratic pair set; then a (doc_a, doc_b) groupby dedups across
-       bands. (The dedup REMOVAL operator doc_dedup_minhash does not go
-       through pairs at all — linear representative links.)
+       quadratic pair set; cross-band dedup happens inside verification
+       pass 1 (dedup_cand — partition-local distinct == global
+       distinct). (The dedup REMOVAL operator doc_dedup_minhash does not
+       go through pairs at all — linear representative links.)
     3. verify: exact Jaccard via _verify_candidate_pairs (two reduce-side
        co-partitioned merges; texts cross the shuffle once per partition,
        not once per pair).
