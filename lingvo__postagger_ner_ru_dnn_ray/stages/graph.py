@@ -547,7 +547,6 @@ def pagerank(edges: ray.data.Dataset, iters: int = _PR_ITERS) -> ray.data.Datase
         .map_batches(_restamp(_PR_ROW), batch_format="pyarrow")
         .materialize()
     )
-    edge_aug = edge_aug.repartition(_bounded_parts(edge_aug)).materialize()
 
     def count_nodes(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -563,12 +562,14 @@ def pagerank(edges: ray.data.Dataset, iters: int = _PR_ITERS) -> ray.data.Datase
     r0 = _PR_SCALE // n_nodes
     base = (15 * r0) // 100
 
-    # small-graph local finish (same cutover as connected_components):
+    # small-graph local finish (same cutover as connected_components,
+    # same unit: DIRECTED EDGE ROWS = total rows minus the node rows):
     # all ``iters`` rounds inside one task over one coalesced block, with
     # IDENTICAL integer arithmetic (int64 scatter-add, floor divisions) —
-    # no per-iteration shuffles. Pinned equal to the distributed loop by
-    # test_graph.py.
-    if edge_aug.count() <= _local_max_rows():
+    # no per-iteration shuffles, and no block-bounding repartition either
+    # (that pass exists for the distributed loop below). Pinned equal to
+    # the distributed loop by test_graph.py.
+    if edge_aug.count() - n_nodes <= _local_max_rows():
 
         def local_pr(batch: pa.Table) -> pa.Table:
             out = pa.schema([("node", pa.int64()), ("rank_scaled", pa.int64())])
@@ -597,6 +598,10 @@ def pagerank(edges: ray.data.Dataset, iters: int = _PR_ITERS) -> ray.data.Datase
         return edge_aug.repartition(1).map_batches(
             local_pr, batch_format="pyarrow", batch_size=None
         )
+
+    # distributed loop: coalesce to byte-sized blocks so each iteration's
+    # shuffles move as many blocks as the DATA needs (see _bounded_parts)
+    edge_aug = edge_aug.repartition(_bounded_parts(edge_aug)).materialize()
 
     def init_ranks(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -20,8 +20,11 @@ def _cc_of(edges_tbl):
     return dict(zip(df["node"].astype(int), df["lab"].astype(int)))
 
 
-def test_cc_chain_and_islands(ray_session):
-    # 1-2-3 chain plus 5-6 island: min label propagates transitively
+def test_cc_chain_and_islands(ray_session, monkeypatch):
+    # 1-2-3 chain plus 5-6 island: min label propagates transitively —
+    # pin the DISTRIBUTED loop's semantics (the local path is pinned
+    # equal by test_local_finish_equals_distributed)
+    monkeypatch.setenv("GRAFT_GRAPH_LOCAL_MAX_ROWS", "0")
     got = _cc_of(pa.table({"doc_a": [1, 2, 5], "doc_b": [2, 3, 6]}))
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
 
@@ -35,10 +38,12 @@ def test_cc_long_chain_converges(ray_session, monkeypatch):
     assert got == {i: 0 for i in range(n)}
 
 
-def test_cc_self_loop_only_node_survives(ray_session):
+def test_cc_self_loop_only_node_survives(ray_session, monkeypatch):
     # a node whose ONLY edges are self-loops must still get a component
     # label (regression: _contract_edges dropped such nodes — no union
-    # fires, so the node appeared in neither star side)
+    # fires, so the node appeared in neither star side). Force the
+    # distributed path: _contract_edges is the code under regression.
+    monkeypatch.setenv("GRAFT_GRAPH_LOCAL_MAX_ROWS", "0")
     got = _cc_of(pa.table({"doc_a": [1, 5, 7, 7], "doc_b": [2, 5, 7, 8]}))
     assert got == {1: 1, 2: 1, 5: 5, 7: 7, 8: 7}
 
@@ -115,11 +120,14 @@ def test_local_finish_equals_distributed(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(pr_local, pr_dist)
 
 
-def test_pagerank_mass_and_symmetry(ray_session):
+def test_pagerank_mass_and_symmetry(ray_session, monkeypatch):
     import ray.data
 
     from lingvo__postagger_ner_ru_dnn_ray.stages.graph import _PR_SCALE, pagerank
 
+    # pin the DISTRIBUTED loop's arithmetic (local path pinned equal by
+    # test_local_finish_equals_distributed)
+    monkeypatch.setenv("GRAFT_GRAPH_LOCAL_MAX_ROWS", "0")
     # two symmetric nodes must get identical ranks; triangle is uniform
     tri = pa.table({"doc_a": [1, 2, 3], "doc_b": [2, 3, 1]})
     df = pagerank(ray.data.from_arrow(tri)).to_pandas()
@@ -129,11 +137,12 @@ def test_pagerank_mass_and_symmetry(ray_session):
     assert 0 < _PR_SCALE - total < 1000
 
 
-def test_pagerank_star_center_dominates(ray_session):
+def test_pagerank_star_center_dominates(ray_session, monkeypatch):
     import ray.data
 
     from lingvo__postagger_ner_ru_dnn_ray.stages.graph import pagerank
 
+    monkeypatch.setenv("GRAFT_GRAPH_LOCAL_MAX_ROWS", "0")
     star = pa.table({"doc_a": [0, 0, 0, 0], "doc_b": [1, 2, 3, 4]})
     df = pagerank(ray.data.from_arrow(star)).to_pandas().set_index("node")
     leaves = df.loc[[1, 2, 3, 4], "rank_scaled"]
