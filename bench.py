@@ -42,9 +42,9 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # sample still exceeds the band bar.
 _REF_SECS = {
     "kg_e2e": 10.7,
-    "doc_dedup_exact": 3.5, "doc_minhash_pairs": 9.2, "doc_dedup_minhash": 9.2,
-    "doc_simhash_neardup_pairs": 3.8, "doc_jaccard_join_prefix": 16.2,
-    "doc_clean_corpus": 14.6, "doc_dedup_cc": 4.1, "doc_dup_pagerank": 4.1,
+    "doc_dedup_exact": 3.5, "doc_minhash_pairs": 8.3, "doc_dedup_minhash": 7.8,
+    "doc_simhash_neardup_pairs": 3.8, "doc_jaccard_join_prefix": 13.0,
+    "doc_clean_corpus": 13.9, "doc_dedup_cc": 4.1, "doc_dup_pagerank": 4.1,
     "doc_token_hll_registers": 0.8, "doc_tfidf_topk": 2.1,
     "doc_token_cms_registers": 0.8, "doc_rep_ngram_signals": 1.0,
     "doc_decontaminate": 1.5, "doc_dup_spans": 3.9, "events_funnel": 1.9,
