@@ -124,6 +124,121 @@ def _kg_table(sf_dir: str, name: str):
     return ray.data.read_parquet(f"{out}/{name}")
 
 
+def _webjson_paths(sf_dir: str) -> tuple[str, str, str]:
+    """(requests_jsonl, ray_out_dir, oracle_parquet) for the batch JSON
+    boundary at this scale — all deterministic, keyed by (n_turns, code
+    fingerprint) like the kg fixtures."""
+    from lingvo__postagger_ner_ru_dnn_ray.sources.transcripts import sf_of_dir
+
+    n = max(200, int(600_000 * sf_of_dir(sf_dir)))
+    fp = _code_fingerprint()
+    base = Path("/tmp/graft_data")
+    return (
+        str(base / f"webjson_reqs_n{n}_{fp}.jsonl"),
+        str(base / f"webjson_ray_n{n}_{fp}"),
+        str(base / f"webjson_oracle_n{n}_{fp}.parquet"),
+    )
+
+
+def _webjson_requests_table(sf_dir: str):
+    """The request set: one ``{"id": "conv:turn", "text": ...}`` record per
+    synthetic transcript turn (the same deterministic fixture the kg family
+    replays), already in the transcript shape WebJsonStage consumes."""
+    import pyarrow as pa
+
+    from lingvo__postagger_ner_ru_dnn_ray.sources.transcripts import (
+        sf_of_dir,
+        synth_transcripts_table,
+    )
+
+    n = max(200, int(600_000 * sf_of_dir(sf_dir)))
+    tbl = synth_transcripts_table(n, seed=42)
+    ids = [
+        f"{c}:{t}"
+        for c, t in zip(tbl.column("conv_id").to_pylist(), tbl.column("turn_idx").to_pylist())
+    ]
+    return pa.Table.from_arrays(
+        [
+            pa.array(ids, pa.string()),
+            pa.array([0] * len(ids), pa.int32()),
+            pa.array(["user"] * len(ids), pa.string()),
+            tbl.column("text"),
+        ],
+        names=["conv_id", "turn_idx", "role", "text"],
+    )
+
+
+def _ensure_webjson_requests(sf_dir: str) -> str:
+    """Write (once) the request JSONL the Ray side ingests."""
+    import json
+
+    reqs_path, _, _ = _webjson_paths(sf_dir)
+    p = Path(reqs_path)
+    if p.exists():
+        return reqs_path
+    tbl = _webjson_requests_table(sf_dir)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    tmp = Path(reqs_path + ".tmp")
+    with tmp.open("w", encoding="utf-8") as f:
+        for cid, text in zip(
+            tbl.column("conv_id").to_pylist(), tbl.column("text").to_pylist()
+        ):
+            f.write(json.dumps({"id": cid, "text": text}, ensure_ascii=False) + "\n")
+    os.replace(tmp, p)
+    return reqs_path
+
+
+def _ensure_webjson_ray(sf_dir: str) -> str:
+    """Run (once) the DISTRIBUTED batch JSON boundary — JSONL ingest →
+    WebJsonStage actor pool — and materialize its (id, sents_json) rows."""
+    import ray
+
+    from lingvo__postagger_ner_ru_dnn_ray.sources.jsonio import (
+        read_json_requests,
+        tag_requests,
+    )
+
+    _, out, _ = _webjson_paths(sf_dir)
+    outp = Path(out)
+    if (outp / "_SUCCESS").exists():
+        return out
+    if outp.exists():
+        import shutil
+
+        shutil.rmtree(outp)
+    reqs = read_json_requests(_ensure_webjson_requests(sf_dir))
+    pool = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+    tag_requests(reqs, model_type="ner", concurrency=pool).write_parquet(out)
+    (outp / "_SUCCESS").touch()
+    return out
+
+
+def _ensure_webjson_oracle(sf_dir: str) -> str:
+    """Single-process oracle for the batch JSON boundary: ONE WebJsonStage
+    call over the whole request table (the FIXTURES.md F5 pattern — same
+    pure transforms, no Ray), materialized to Parquet for the SQL side."""
+    import pyarrow.parquet as pq
+
+    from lingvo__postagger_ner_ru_dnn_ray.sources.jsonio import WebJsonStage
+
+    _, _, orc = _webjson_paths(sf_dir)
+    p = Path(orc)
+    if p.exists():
+        return orc
+    out = WebJsonStage(model_type="ner")(_webjson_requests_table(sf_dir))
+    p.parent.mkdir(parents=True, exist_ok=True)
+    tmp = Path(orc + ".tmp")
+    pq.write_table(out, tmp)
+    os.replace(tmp, p)
+    return orc
+
+
+def _web_json_tagged(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(_ensure_webjson_ray(sf_dir))
+
+
 def entry() -> Any:
     """Flagship: transcripts → sorted → tokenize → tag (actor pool) →
     triples → linked triples, at sf0.001 scale."""
@@ -367,6 +482,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_triangles": _graph_q("doc_dup_triangles"),
         "doc_dup_pagerank": _graph_q("doc_dup_pagerank"),
         "kg_edges_artifact": _kg_edges_artifact,
+        # new in r5 session 3/4: the batch JSON boundary (web surface
+        # replay) — actor-pool path vs the single-process oracle
+        "web_json_tagged": _web_json_tagged,
         "kg_triples": lambda sf: _kg_table(sf, "triples"),
         "kg_mentions": lambda sf: _kg_table(sf, "mentions"),
         "kg_edges": lambda sf: _kg_table(sf, "edges"),
@@ -723,6 +841,9 @@ def oracle_sql() -> dict[str, str]:
     sql = _dataops_sql()
     orc = _ensure_kg_oracle(sf)
     sql.update(_kg_sql(orc))
+    sql["web_json_tagged"] = (
+        f"SELECT * FROM read_parquet('{_ensure_webjson_oracle(sf)}')"
+    )
     sql["seqlabel_f1"] = seqlabel_f1_oracle_sql(f"{orc}/sentences.parquet")
     sql["kg_sentence_len_histogram"] = (
         "SELECT len(\"values\") // 10 AS len_bucket, count(*)::BIGINT AS n_sents "

@@ -89,3 +89,41 @@ def test_webjson_empty_text_and_content_ids(ray_session, tmp_path):
     assert words[0] == "Он" and words[-1] == "."
     labels = [t["label"] for t in tagged[0][0]["tuples"]]
     assert labels[words.index("Петербурге")] == "B-LOC"
+
+
+def test_webjson_driver_query_matches_single_process_oracle(ray_session, monkeypatch):
+    """The web_json_tagged driver query (JSONL ingest -> WebJsonStage actor
+    pool, materialized) must equal ONE single-process WebJsonStage call over
+    the same request table — the F5 invariant extended to the JSON boundary."""
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    import __ray_entry__ as e
+
+    sf_dir = "/root/testdata/sf0.001"  # 600 requests
+    # isolated cache dirs so the test never reuses / pollutes the gate's
+    for p in e._webjson_paths(sf_dir):
+        shutil.rmtree(p, ignore_errors=True)
+        Path(p).unlink(missing_ok=True)
+    try:
+        ray_df = (
+            ray.data.read_parquet(e._ensure_webjson_ray(sf_dir))
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        orc_df = (
+            pq.read_table(e._ensure_webjson_oracle(sf_dir))
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        assert len(ray_df) == 600
+        assert list(ray_df.columns) == list(orc_df.columns) == ["id", "sents_json"]
+        assert ray_df.equals(orc_df)
+    finally:
+        for p in e._webjson_paths(sf_dir):
+            shutil.rmtree(p, ignore_errors=True)
+            Path(p).unlink(missing_ok=True)
