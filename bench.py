@@ -32,8 +32,9 @@ os.environ.setdefault("GRAFT_KG_MEMO_STATS", "1")
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
-# Historical quiet-window reference seconds (sf0.1 @ 32 CPUs; the 2026-08-19 quiet-window sweep
-# + the BASELINE.md quiet-window sweeps). Band-proofing (round-4 lesson: the
+# Historical quiet-window reference seconds (sf0.1 @ 32 CPUs; the 2026-08-20
+# true-quiet sweep — 0.011% measured steal, zero band re-runs — see
+# BASELINE.md §continuation session 4). Band-proofing (round-4 lesson: the
 # r4 driver session landed in a CPU-steal band and recorded kg_e2e 22.5 s vs
 # 11.4 s quiet for the same code): any query measuring > _BAND_FACTOR x its
 # reference gets ONE solo re-run after the sweep and the better sample is
@@ -41,20 +42,20 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # up to GRAFT_BENCH_MAX_RUNS while its sample spread exceeds 1.5x or its best
 # sample still exceeds the band bar.
 _REF_SECS = {
-    "kg_e2e": 10.7,
-    "doc_dedup_exact": 3.5, "doc_minhash_pairs": 8.3, "doc_dedup_minhash": 7.8,
-    "doc_simhash_neardup_pairs": 3.8, "doc_jaccard_join_prefix": 13.0,
-    "doc_clean_corpus": 13.9, "doc_dedup_cc": 4.1, "doc_dup_pagerank": 4.1,
-    "doc_token_hll_registers": 0.8, "doc_tfidf_topk": 2.1,
-    "doc_token_cms_registers": 0.8, "doc_rep_ngram_signals": 1.0,
-    "doc_decontaminate": 1.5, "doc_dup_spans": 3.9, "events_funnel": 1.9,
-    "events_attribution": 1.4, "events_distinct_users": 7.2,
-    "doc_token_freq": 1.3, "emb_ann_topk": 1.5, "emb_ann_ivf": 5.1,
-    "emb_neardup_lsh": 2.2, "events_window": 3.0, "lineitem_pricing": 1.0,
-    "doc_bm25_topk": 1.8, "lineitem_bloom_semijoin": 6.1,
-    "events_interval_join": 1.29, "events_user_rolling": 2.3,
-    "events_retention_cohorts": 1.9, "events_user_type_set": 1.2,
-    "doc_posting_lists": 1.7, "emb_pq_topk": 5.3,
+    "kg_e2e": 8.3,
+    "doc_dedup_exact": 0.8, "doc_minhash_pairs": 5.9, "doc_dedup_minhash": 5.8,
+    "doc_simhash_neardup_pairs": 1.5, "doc_jaccard_join_prefix": 8.9,
+    "doc_clean_corpus": 9.2, "doc_dedup_cc": 2.5, "doc_dup_pagerank": 2.6,
+    "doc_token_hll_registers": 0.5, "doc_tfidf_topk": 1.6,
+    "doc_token_cms_registers": 0.6, "doc_rep_ngram_signals": 0.8,
+    "doc_decontaminate": 1.1, "doc_dup_spans": 2.8, "events_funnel": 1.5,
+    "events_attribution": 0.9, "events_distinct_users": 1.4,
+    "doc_token_freq": 0.9, "emb_ann_topk": 0.9, "emb_ann_ivf": 3.3,
+    "emb_neardup_lsh": 1.3, "events_window": 2.0, "lineitem_pricing": 0.7,
+    "doc_bm25_topk": 1.2, "lineitem_bloom_semijoin": 4.0,
+    "events_interval_join": 1.03, "events_user_rolling": 1.8,
+    "events_retention_cohorts": 1.2, "events_user_type_set": 0.8,
+    "doc_posting_lists": 0.9, "emb_pq_topk": 3.6,
 }
 _BAND_FACTOR = 2.0
 
