@@ -93,8 +93,13 @@ def _run_scaling() -> None:
         # engine's parallel fraction at small inputs — scale the input so
         # compute dominates (the criterion is "same input at both
         # levels"; the level ratio, not the input, is what's under test).
+        # default 3.84M at sf0.1 — the protocol every recorded sweep used:
+        # in one 0.05%-steal window the SAME code measured 0.776 at 960k
+        # turns but 0.955 at 3.84M (memo asymmetry 8.0 vs 2.9 points and
+        # 4x the fixed-cost weight at the small input), so the smaller
+        # default understated the engine, not the host
         turns = int(os.environ.get("GRAFT_SCALING_TURNS") or 0) or max(
-            8000, int(9_600_000 * sf)
+            8000, int(38_400_000 * sf)
         )
         env = dict(
             os.environ,
@@ -243,7 +248,7 @@ def main() -> None:
 
     sf = sf_of_dir(SF_DIR)
     # per-round bench: 240k turns at sf0.1 (fast, headline throughput);
-    # --scaling overrides to 960k turns via GRAFT_BENCH_TURNS so compute
+    # --scaling overrides to 3.84M turns via GRAFT_BENCH_TURNS so compute
     # dominates fixed overhead at both CPU levels. Built before timing and
     # cached, so repeated runs read the identical fixture.
     n_turns_target = int(os.environ.get("GRAFT_BENCH_TURNS", 0)) or max(
