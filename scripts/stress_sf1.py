@@ -47,7 +47,7 @@ os.environ.setdefault("OMP_NUM_THREADS", "1")
 SF_DIR = "/root/testdata/sf0.1"
 OUT_DIR = "/tmp/graft_sf1"
 REPLICAS = 10
-N_TURNS = 2_400_000
+N_TURNS = int(os.environ.get("GRAFT_STRESS_TURNS", "0")) or 2_400_000
 
 
 def _meminfo_available_kib() -> int:
