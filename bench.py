@@ -135,7 +135,10 @@ def _run_scaling() -> None:
 
     run.started = False  # type: ignore[attr-defined]
 
-    lo, hi = 8, 32
+    # levels are env-configurable (e.g. GRAFT_SCALING_LO=8 GRAFT_SCALING_HI=16
+    # for a midpoint pair); default 8 vs 32 = the recorded protocol
+    lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALING_HI", "32"))
     # this sandbox VM suffers heavy, bursty CPU steal (identical configs
     # vary ±2.5×, in hour-scale bands). INTERLEAVE the two levels
     # lo,hi,lo,hi,… so a steal band hits temporally-adjacent samples of
